@@ -1,0 +1,107 @@
+"""Config-system tests: BASE inheritance, open/closed nodes, CLI merges,
+and that the released MS-CLIP YAMLs parse to the expected values."""
+
+import pytest
+
+from msclip_tpu.config import CfgNode, get_default_config, update_config
+
+
+def test_defaults_basic():
+    c = get_default_config()
+    assert c.TRAIN.LR == 0.001
+    assert c.INPUT.MEAN == [0.485, 0.456, 0.406]
+    assert c.CUSTOM.LR_SHARE == 0.0
+
+
+def test_attribute_and_item_access():
+    c = CfgNode({"A": {"B": 1}})
+    assert c.A.B == 1
+    c.A.B = 2
+    assert c["A"]["B"] == 2
+
+
+def test_closed_node_rejects_unknown():
+    c = get_default_config()
+    with pytest.raises(KeyError):
+        c.merge_from_dict({"TRAIN": {"NOT_A_KEY": 1}})
+
+
+def test_open_node_accepts_unknown():
+    c = get_default_config()
+    c.merge_from_dict({"CUSTOM": {"BRAND_NEW_KEY": [1, 2]}})
+    assert c.CUSTOM.BRAND_NEW_KEY == [1, 2]
+
+
+def test_merge_from_list_coercion():
+    c = get_default_config()
+    c.merge_from_list(["TRAIN.LR", "0.01", "AMP.ENABLED", "True"])
+    assert c.TRAIN.LR == 0.01
+    assert c.AMP.ENABLED is True
+
+
+def test_type_mismatch_raises():
+    c = get_default_config()
+    with pytest.raises(TypeError):
+        c.merge_from_dict({"TRAIN": {"LR": "fast"}})
+
+
+def test_b32_msclips_yaml_parses(repo_root):
+    c = get_default_config()
+    update_config(c, str(repo_root / "experiments/model/b32-yfcc-msclips.yaml"))
+    # BASE inheritance from b32.yaml
+    assert c.MODEL.SPEC.EMBED_DIM == 512
+    assert c.MODEL.SPEC.VISION.PATCH_SIZE == 32
+    # overridden by msclips yaml
+    assert c.MODEL.SPEC.TEXT.WIDTH == 768
+    assert c.MODEL.SPEC.TEXT.HEADS == 12
+    assert c.MODEL.SPEC.GATHER_TENSORS is True
+    assert c.CUSTOM.SHARE_MODULES == [
+        "attn.in_proj_weight",
+        "attn.in_proj_bias",
+        "attn.out_proj",
+        "mlp",
+    ]
+    assert c.CUSTOM.PARALLEL_LATERAL_LAYER == [2, 4, 6, 8, 10]
+    assert c.CUSTOM.PRALLEL_T2B_STRIDES == [16, 8, 4, 2, 1]
+    assert c.NAME == "b32-yfcc-msclips"
+
+
+def test_b16_yaml_overrides(repo_root):
+    c = get_default_config()
+    update_config(c, str(repo_root / "experiments/model/b16-yfcc-msclips.yaml"))
+    assert c.MODEL.SPEC.VISION.PATCH_SIZE == 16
+    assert c.CUSTOM.PARALLEL_STRIDES == [2, 2, 2, 2, 1]
+    assert c.CUSTOM.EARLY_CONV_RES_STRIDES == [2, 2, 2, 1]
+    assert c.CUSTOM.PRALLEL_T2B_KERNELS == [8, 4, 2, 1, 1]
+
+
+def test_lr_world_size_scaling(repo_root):
+    c = get_default_config()
+    update_config(
+        c,
+        str(repo_root / "experiments/model/b32-yfcc-msclips.yaml"),
+        world_size=8,
+    )
+    assert c.TRAIN.LR == pytest.approx(8 * 0.0001)
+    assert c.CUSTOM.LR_SHARE == pytest.approx(8 * 0.0001)
+
+
+def test_dataset_then_model_merge(repo_root):
+    # The eval driver merges dataset yaml first, then model yaml
+    # (reference tools/zero_shot.py:185-188).
+    c = get_default_config()
+    update_config(c, str(repo_root / "experiments/dataset/imagenet.yaml"))
+    update_config(c, str(repo_root / "experiments/model/b32-yfcc-msclips.yaml"))
+    assert c.DATASET.DATASET == "imagenet"
+    assert c.TEST.METRIC == "accuracy"
+    assert c.MODEL.NAME == "clip_openai_pe_res_v1"
+
+
+def test_dump_roundtrip():
+    c = get_default_config()
+    d = c.dump()
+    import yaml
+
+    parsed = yaml.safe_load(d)
+    assert parsed["TRAIN"]["LR"] == 0.001
+    assert "__is_open__" not in d
