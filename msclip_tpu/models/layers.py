@@ -1,0 +1,248 @@
+"""Core functional layers (pure JAX, NHWC / batch-first).
+
+Numeric-parity-critical semantics replicated from the reference model file
+(``/root/reference/lib/models/clip_openai_pe_res_v1.py``):
+
+* ``layer_norm``  — TF-style LN: statistics in fp32, eps *inside* the sqrt,
+  default eps 1e-12, normalized value cast back to input dtype before the
+  affine (reference ``:204-219``).
+* ``quick_gelu``  — ``x * sigmoid(1.702 x)`` (reference ``:222-224``).
+* ``attention``   — fused-QKV multi-head attention with ``head_dim**-0.5``
+  query scaling and additive float mask (reference ``Attention_CUST.forward``
+  ``:592-755``, plain path).
+* ``transformer_block`` — pre-LN residual block
+  ``x += attn(ln_1(x)); x += mlp(ln_2(x))`` (reference ``:1027-1028``),
+  MLP = c_fc(4x) -> QuickGELU -> c_proj (reference ``:794-798``).
+* ``batch_norm``  — inference mode folds running stats
+  (eval-parity path); training mode computes batch statistics with an
+  optional cross-replica ``axis_name`` psum (the TPU-native answer to
+  sync-BN).
+
+All params are stored fp32; ``x``'s dtype is the compute dtype (bf16 in
+production). Weight layout is JAX-native: linear weights are ``[in, out]``
+(``y = x @ W + b``), convs are HWIO.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    """timm-style truncated normal: clipped to +-2 (absolute) like
+    ``trunc_normal_(std=0.02)`` used throughout the reference."""
+    lower, upper = -2.0 / max(std, 1e-12), 2.0 / max(std, 1e-12)
+    return std * jax.random.truncated_normal(key, lower, upper, shape, dtype)
+
+
+def init_linear(key, d_in, d_out, std=0.02, bias=True):
+    p = {"w": trunc_normal(key, (d_in, d_out), std)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def init_layer_norm(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_batch_norm(dim):
+    return {
+        "scale": jnp.ones((dim,), jnp.float32),
+        "bias": jnp.zeros((dim,), jnp.float32),
+        "mean": jnp.zeros((dim,), jnp.float32),
+        "var": jnp.ones((dim,), jnp.float32),
+    }
+
+
+def init_conv(key, k, c_in, c_out, groups=1, std=0.02):
+    """HWIO conv kernel; ``c_in`` is the full input channel count."""
+    return {"w": trunc_normal(key, (k, k, c_in // groups, c_out), std)}
+
+
+def init_attention(key, dim, std=0.02):
+    k1, k2 = jax.random.split(key)
+    return {
+        "qkv_w": trunc_normal(k1, (dim, 3 * dim), std),
+        "qkv_b": jnp.zeros((3 * dim,), jnp.float32),
+        "out_w": trunc_normal(k2, (dim, dim), std),
+        "out_b": jnp.zeros((dim,), jnp.float32),
+    }
+
+
+def init_mlp(key, dim, hidden_mult=4, std=0.02):
+    k1, k2 = jax.random.split(key)
+    return {
+        "c_fc": init_linear(k1, dim, dim * hidden_mult, std),
+        "c_proj": init_linear(k2, dim * hidden_mult, dim, std),
+    }
+
+
+def init_block(key, dim, std=0.02):
+    k1, k2 = jax.random.split(key)
+    return {
+        "attn": init_attention(k1, dim, std),
+        "ln_1": init_layer_norm(dim),
+        "mlp": init_mlp(k2, dim, 4, std),
+        "ln_2": init_layer_norm(dim),
+    }
+
+
+# ---------------------------------------------------------------------------
+# apply functions
+# ---------------------------------------------------------------------------
+
+def layer_norm(p, x, eps=1e-12):
+    """fp32-island LayerNorm, eps inside the sqrt (TF-style)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    normed = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(dtype)
+    return p["scale"].astype(dtype) * normed + p["bias"].astype(dtype)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def linear(p, x):
+    # HIGHEST keeps fp32 inputs in true fp32 on the MXU (the TPU default
+    # decomposes fp32 matmuls to bf16 passes); bf16 inputs are unaffected.
+    y = jnp.dot(x, p["w"].astype(x.dtype),
+                precision=jax.lax.Precision.HIGHEST)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def mlp(p, x):
+    return linear(p["c_proj"], quick_gelu(linear(p["c_fc"], x)))
+
+
+def attention(p, x, n_head, mask=None):
+    """Multi-head self-attention, batch-first ``[B, L, E]``.
+
+    Matches the reference's explicit bmm/softmax/bmm pipeline with the
+    query pre-scaled by ``head_dim**-0.5``; logits are accumulated in fp32
+    on the MXU via ``preferred_element_type``.
+    """
+    B, L, E = x.shape
+    head_dim = E // n_head
+    qkv = linear({"w": p["qkv_w"], "b": p["qkv_b"]}, x)  # [B, L, 3E]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, L, n_head, head_dim).transpose(0, 2, 1, 3)
+
+    q = heads(q) * jnp.asarray(head_dim ** -0.5, x.dtype)
+    k, v = heads(k), heads(v)
+
+    scores = jnp.einsum(
+        "bhld,bhmd->bhlm", q, k,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if mask is not None:
+        scores = scores + mask.astype(scores.dtype)
+    weights = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhlm,bhmd->bhld", weights, v,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
+    return linear({"w": p["out_w"], "b": p["out_b"]}, out)
+
+
+def transformer_block(p, x, n_head, mask=None, eps=1e-12):
+    """Pre-LN residual attention block (reference ``:1027-1028``)."""
+    x = x + attention(p["attn"], layer_norm(p["ln_1"], x, eps), n_head, mask)
+    x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x, eps))
+    return x
+
+
+def conv2d(p, x, stride=1, padding=0, groups=1):
+    """NHWC conv with symmetric integer padding (torch Conv2d semantics)."""
+    pad = ((padding, padding), (padding, padding))
+    return jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def conv_transpose2d(p, x, stride=1, padding=0, groups=1):
+    """NHWC transposed conv matching torch ConvTranspose2d geometry."""
+    k = p["w"].shape[0]
+    pad_lo = k - 1 - padding
+    pad = ((pad_lo, pad_lo), (pad_lo, pad_lo))
+    return jax.lax.conv_general_dilated(
+        x,
+        jnp.flip(p["w"], (0, 1)).astype(x.dtype),
+        window_strides=(1, 1),
+        padding=pad,
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+
+
+def batch_norm(p, x, eps=1e-5, training=False, axis_name=None, momentum=0.1):
+    """BatchNorm over NHWC (stats per channel).
+
+    Inference: folds running stats into a single scale/offset (one fused
+    multiply-add on the VPU). Training: batch statistics over (N, H, W),
+    optionally psum-averaged across ``axis_name`` for cross-replica BN;
+    returns ``(y, new_stats)``.
+    """
+    dtype = x.dtype
+    if not training:
+        scale = p["scale"] * jax.lax.rsqrt(p["var"] + eps)
+        offset = p["bias"] - p["mean"] * scale
+        return x * scale.astype(dtype) + offset.astype(dtype)
+
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(xf, axis=axes)
+    mean_sq = jnp.mean(jnp.square(xf), axis=axes)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        mean_sq = jax.lax.pmean(mean_sq, axis_name)
+    var = mean_sq - jnp.square(mean)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = p["scale"] * y + p["bias"]
+    # torch running_var uses the unbiased estimator
+    n = math.prod([x.shape[a] for a in axes])
+    if axis_name is not None:
+        n = n * jax.lax.psum(1, axis_name)
+    unbiased = var * (n / max(n - 1, 1))
+    new_stats = {
+        "mean": (1 - momentum) * p["mean"] + momentum * mean,
+        "var": (1 - momentum) * p["var"] + momentum * unbiased,
+    }
+    return y.astype(dtype), new_stats
+
+
+def build_causal_mask(length: int) -> jnp.ndarray:
+    """Additive causal mask: 0 on/below diagonal, -inf above
+    (reference ``build_attention_mask`` ``:2965-2971``)."""
+    mask = jnp.full((length, length), -jnp.inf, jnp.float32)
+    return jnp.triu(mask, k=1)
+
+
+def l2_normalize(x, axis=-1, eps=0.0):
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / (norm + eps)

@@ -1,0 +1,498 @@
+"""MS-CLIP model family, TPU-native.
+
+Functional re-design of the reference model zoo's [ON] surface
+(``/root/reference/lib/models/clip_openai_pe_res_v1.py``): plain CLIP-ViT
+and MS-CLIP-S (shared transformer trunk + EarlyconvRes stem + parallel conv
+branch with lateral adapters).
+
+Design stance (SURVEY.md §7): parameter sharing is expressed as *one trunk
+param set consumed by both towers* instead of the reference's module
+``setattr`` aliasing (``:2786-2830``) — the shared attn/mlp tensors live in
+``params['visual']['blocks']`` and text blocks that share them simply omit
+those keys; a resolver assembles the effective per-layer text params. Same
+math, no aliasing machinery, and optimizer param groups fall out of the
+pytree structure.
+
+Layout: batch-first ``[B, L, D]`` activations, NHWC images, fp32 params,
+configurable compute dtype (bf16 in production).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import layers as L
+from . import stem as S
+from .stem import BNState
+
+
+# ---------------------------------------------------------------------------
+# Spec
+# ---------------------------------------------------------------------------
+
+# Mapping from reference SHARE_MODULES names (b32-yfcc-msclips.yaml) to the
+# param keys they alias.
+_SHARE_NAME_MAP = {
+    "attn.in_proj_weight": ("attn.qkv_w",),
+    "attn.in_proj_bias": ("attn.qkv_b",),
+    "attn.out_proj": ("attn.out_w", "attn.out_b"),
+    "mlp": ("mlp",),
+}
+
+
+@dataclass(frozen=True)
+class MSClipSpec:
+    """Static architecture description (hashable; safe as a jit-static arg)."""
+
+    embed_dim: int = 512
+    image_resolution: int = 224
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_patch_size: int = 32
+    vision_heads: int = 12
+
+    context_length: int = 77
+    vocab_size: int = 49408
+    text_width: int = 768
+    text_heads: int = 12
+    text_layers: int = 12
+
+    pool_type: str = "default"
+    skip_cls: bool = False
+    gather_tensors: bool = False
+    ln_eps: float = 1e-12
+
+    # EarlyconvRes stem (CUSTOM.EARLY_CONV*)
+    early_conv: bool = False
+    early_conv_first_k: int = 3
+    early_conv_strides: Tuple[int, ...] = (2, 2, 2, 2)
+
+    # Parallel branch + lateral adapters (CUSTOM.PARALLEL*)
+    parallel: bool = False
+    parallel_n_layers: int = 5
+    lateral_layers: Tuple[int, ...] = ()
+    parallel_kernels: Tuple[int, ...] = (3, 3, 3, 3, 3)
+    parallel_paddings: Tuple[int, ...] = (1, 1, 1, 1, 1)
+    parallel_strides: Tuple[int, ...] = (2, 2, 2, 2, 2)
+    parallel_resnet_layers: Tuple[int, ...] = (0, 1, 1, 1, 1)
+    t2b_kernels: Tuple[int, ...] = (18, 10, 6, 4, 3)
+    t2b_paddings: Tuple[int, ...] = (1, 1, 1, 1, 1)
+    t2b_strides: Tuple[int, ...] = (16, 8, 4, 2, 1)
+    t2b_use_cls: bool = False
+
+    # Modality sharing (CUSTOM.SHARE_MODULES / N_LAYERS / SHARE_BOTTOM_LAYER)
+    share_modules: Tuple[str, ...] = ()
+    share_n_layers: int = -1
+    share_bottom_layer: bool = False
+
+    compute_dtype: str = "float32"
+    remat: bool = False
+
+    # -- derived -----------------------------------------------------------
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def grid(self) -> int:
+        if self.early_conv:
+            stride = 2 * math.prod(self.early_conv_strides)
+        else:
+            stride = self.vision_patch_size
+        return self.image_resolution // stride
+
+    @property
+    def vision_seq_len(self) -> int:
+        return self.grid * self.grid + 1
+
+    @property
+    def n_trunk_blocks(self) -> int:
+        """Transformer blocks in the visual tower (resblock 0 is the stem
+        when early_conv; reference ``:2042-2051``)."""
+        return self.vision_layers - (1 if self.early_conv else 0)
+
+    def text_layer_is_shared(self, i: int) -> bool:
+        if not self.share_modules:
+            return False
+        if self.share_n_layers == -1:
+            return True
+        if self.share_bottom_layer:
+            return i < self.share_n_layers
+        return i >= self.share_n_layers
+
+    def shared_param_keys(self) -> Tuple[str, ...]:
+        keys = []
+        for name in self.share_modules:
+            keys.extend(_SHARE_NAME_MAP[name])
+        return tuple(keys)
+
+
+def spec_from_config(config) -> MSClipSpec:
+    """Build an MSClipSpec from a merged config tree, reading the same keys
+    as the reference factory (``get_clip_model`` ``:3182-3227``) and
+    ``Transformer.__init__`` (``:2126-2180``)."""
+    spec_cfg = config.MODEL.SPEC
+    custom = config.CUSTOM
+    vision = spec_cfg.VISION
+    text = spec_cfg.TEXT
+
+    if not isinstance(vision.get("LAYERS", 12), int):
+        raise NotImplementedError(
+            "ModifiedResNet vision tower ([off] in all released configs) "
+            "is not implemented yet"
+        )
+    if custom.get("VISUAL_LAYER_MINUS1", False):
+        raise NotImplementedError("VISUAL_LAYER_MINUS1 is [off] in released "
+                                  "configs and not implemented")
+
+    width = vision.get("WIDTH", 768)
+    n_parallel = custom.get("PARALLEL_N_LAYERS", 5)
+    return MSClipSpec(
+        embed_dim=spec_cfg.get("EMBED_DIM", 512),
+        # reference reads TRAIN.IMAGE_SIZE even for eval (:3185)
+        image_resolution=config.TRAIN.IMAGE_SIZE[0],
+        vision_width=width,
+        vision_layers=vision.get("LAYERS", 12),
+        vision_patch_size=vision.get("PATCH_SIZE", 32),
+        vision_heads=width // 64,
+        context_length=text.get("CONTEXT_LENGTH", 77),
+        vocab_size=text.get("VOCAB_SIZE", 49408),
+        text_width=text.get("WIDTH", 512),
+        text_heads=text.get("HEADS", 8),
+        text_layers=text.get("LAYERS", 12),
+        pool_type=spec_cfg.get("POOL_TYPE", "default"),
+        skip_cls=spec_cfg.get("SKIP_CLS", False),
+        gather_tensors=spec_cfg.get("GATHER_TENSORS", False),
+        early_conv=custom.get("EARLY_CONV", False),
+        early_conv_first_k=custom.get("EARLY_CONV_RES_FIRSTCONV_KERNEL", 3),
+        early_conv_strides=tuple(
+            custom.get("EARLY_CONV_RES_STRIDES", [2, 2, 2, 2])
+        ),
+        parallel=custom.get("PARALLEL_IN_V", False),
+        parallel_n_layers=n_parallel,
+        lateral_layers=tuple(custom.get("PARALLEL_LATERAL_LAYER", [])),
+        parallel_kernels=tuple(custom.get("PARALLEL_KERNELS", [3] * 5)),
+        parallel_paddings=tuple(custom.get("PARALLEL_PADDINGS", [1] * 5)),
+        parallel_strides=tuple(custom.get("PARALLEL_STRIDES", [2] * 5)),
+        parallel_resnet_layers=tuple(
+            custom.get("PARALLEL_RESNET_LAYERS", [0, 1, 1, 1, 1])
+        )
+        if custom.get("PARALLEL_RESNET", False)
+        else (0,) * n_parallel,
+        t2b_kernels=tuple(
+            custom.get("PRALLEL_T2B_KERNELS", [18, 10, 6, 4, 3])
+        ),
+        t2b_paddings=tuple(custom.get("PRALLEL_T2B_PADDINGS", [1] * 5)),
+        t2b_strides=tuple(custom.get("PRALLEL_T2B_STRIDES", [16, 8, 4, 2, 1])),
+        t2b_use_cls=custom.get("PRALLEL_T2B_USECLS", False),
+        share_modules=tuple(custom.get("SHARE_MODULES", []) or []),
+        share_n_layers=custom.get("N_LAYERS", -1),
+        share_bottom_layer=custom.get("SHARE_BOTTOM_LAYER", False),
+        compute_dtype=config.TPU.COMPUTE_DTYPE,
+        remat=config.TPU.REMAT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_params(key, spec: MSClipSpec):
+    """Initialize the full parameter pytree.
+
+    Init distributions follow the reference's construction order exactly
+    (SURVEY.md §3.4): attention qkv xavier-uniform (raw Parameter escapes
+    ``_init_weights``), all Linear/Conv trunc-normal(0.02) with zero bias,
+    LN/BN ones/zeros, class/positional/proj embeddings ``width**-0.5 *
+    randn`` on the vision side, trunc-normal(0.02) text positional embedding
+    and projection, N(0,1) token embedding (torch ``nn.Embedding`` default),
+    ``logit_scale = 1.0`` (reference ``:2850``).
+    """
+    keys = jax.random.split(key, 16)
+    W, E = spec.vision_width, spec.embed_dim
+    TW = spec.text_width
+    vis_scale = W ** -0.5
+
+    visual = {
+        "class_embedding": vis_scale
+        * jax.random.normal(keys[0], (W,), jnp.float32),
+        "positional_embedding": vis_scale
+        * jax.random.normal(keys[1], (spec.vision_seq_len, W), jnp.float32),
+        "ln_pre": L.init_layer_norm(W),
+        "ln_post": L.init_layer_norm(W),
+        "proj": vis_scale * jax.random.normal(keys[2], (W, E), jnp.float32),
+        "blocks": [],
+    }
+    if spec.early_conv:
+        visual["stem"] = S.init_earlyconv_res(
+            keys[3], W, spec.early_conv_first_k, len(spec.early_conv_strides)
+        )
+    else:
+        visual["conv1"] = L.init_conv(
+            keys[3], spec.vision_patch_size, 3, W
+        )
+
+    bkeys = jax.random.split(keys[4], spec.n_trunk_blocks)
+    for i in range(spec.n_trunk_blocks):
+        visual["blocks"].append(_init_block_xavier_qkv(bkeys[i], W))
+
+    if spec.parallel:
+        visual["parallel_stages"] = S.init_parallel_branch(
+            keys[5], W, spec.parallel_n_layers, spec.parallel_resnet_layers,
+            spec.parallel_kernels,
+        )
+        akeys = jax.random.split(keys[6], len(spec.lateral_layers))
+        out_dims = [W // 16, W // 8, W // 4, W // 2, W]
+        visual["lateral_adapters"] = [
+            S.init_lateral_adapter(akeys[i], out_dims[i], W,
+                                   spec.t2b_kernels[i])
+            for i in range(len(spec.lateral_layers))
+        ]
+
+    shared_keys = set(spec.shared_param_keys())
+    text_blocks = []
+    tkeys = jax.random.split(keys[7], spec.text_layers)
+    for i in range(spec.text_layers):
+        blk = _init_block_xavier_qkv(tkeys[i], TW)
+        if spec.text_layer_is_shared(i):
+            blk = _strip_shared(blk, shared_keys)
+        text_blocks.append(blk)
+
+    text = {
+        "token_embedding": jax.random.normal(
+            keys[8], (spec.vocab_size, TW), jnp.float32
+        ),
+        "positional_embedding": L.trunc_normal(
+            keys[9], (spec.context_length, TW), 0.02
+        ),
+        "blocks": text_blocks,
+        "ln_final": L.init_layer_norm(TW),
+        "text_projection": L.trunc_normal(keys[10], (TW, E), 0.02),
+    }
+
+    return {
+        "visual": visual,
+        "text": text,
+        "logit_scale": jnp.ones((), jnp.float32),
+    }
+
+
+def _init_block_xavier_qkv(key, dim):
+    """Transformer block whose qkv weight is xavier-uniform (matching
+    ``Attention_CUST._reset_parameters``; the out_proj and MLP Linears get
+    trunc-normal(0.02) from ``_init_weights``)."""
+    blk = L.init_block(key, dim)
+    kq = jax.random.fold_in(key, 7)
+    limit = math.sqrt(6.0 / (dim + 3 * dim))
+    blk["attn"]["qkv_w"] = jax.random.uniform(
+        kq, (dim, 3 * dim), jnp.float32, -limit, limit
+    )
+    return blk
+
+
+def _strip_shared(blk, shared_keys):
+    out = {"ln_1": blk["ln_1"], "ln_2": blk["ln_2"]}
+    if "mlp" not in shared_keys:
+        out["mlp"] = blk["mlp"]
+    attn = {
+        k: v
+        for k, v in blk["attn"].items()
+        if f"attn.{k}" not in shared_keys
+    }
+    if attn:
+        out["attn"] = attn
+    return out
+
+
+def resolve_text_block(params, spec: MSClipSpec, i: int):
+    """Assemble effective params for text block ``i``: module-wise merge of
+    its own params with the visual trunk's shared tensors (the functional
+    equivalent of the reference's setattr aliasing, ``:2786-2830``)."""
+    own = params["text"]["blocks"][i]
+    if not spec.text_layer_is_shared(i):
+        return own
+    vis = params["visual"]["blocks"][i - (1 if spec.early_conv else 0)]
+    shared = set(spec.shared_param_keys())
+    attn = {}
+    for k in ("qkv_w", "qkv_b", "out_w", "out_b"):
+        src = vis["attn"] if f"attn.{k}" in shared else own["attn"]
+        attn[k] = src[k]
+    return {
+        "ln_1": own["ln_1"],
+        "ln_2": own["ln_2"],
+        "attn": attn,
+        "mlp": vis["mlp"] if "mlp" in shared else own["mlp"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _block_fn(spec: MSClipSpec):
+    fn = lambda p, x, heads, mask: L.transformer_block(
+        p, x, heads, mask, eps=spec.ln_eps
+    )
+    if spec.remat:
+        fn = jax.checkpoint(fn, static_argnums=(2,))
+    return fn
+
+
+def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
+                 bn: Optional[BNState] = None):
+    """images: ``[B, H, W, 3]`` (preprocessed) -> ``[B, embed_dim]``.
+
+    Implements the visual call stack of SURVEY.md §3.2: stem -> tokens ->
+    +CLS/+pos/ln_pre -> 11 trunk blocks with the parallel branch fused at
+    the lateral layers -> CLS pool -> ln_post -> proj -> L2 norm.
+    """
+    if bn is None:
+        bn = BNState(training=False)
+    v = params["visual"]
+    x = images.astype(spec.dtype)
+    B = x.shape[0]
+    W = spec.vision_width
+    g = spec.grid
+
+    if spec.early_conv:
+        fmap = S.apply_earlyconv_res(
+            v["stem"], x, spec.early_conv_strides, bn,
+            first_conv_k=spec.early_conv_first_k, path="visual/stem",
+        )
+    else:
+        fmap = L.conv2d(v["conv1"], x, stride=spec.vision_patch_size,
+                        padding=0)
+    tokens = fmap.reshape(B, g * g, W)
+    cls_tok = jnp.broadcast_to(
+        v["class_embedding"].astype(spec.dtype), (B, 1, W)
+    )
+    tokens = jnp.concatenate([cls_tok, tokens], axis=1)
+    tokens = tokens + v["positional_embedding"].astype(spec.dtype)
+    tokens = L.layer_norm(v["ln_pre"], tokens, eps=spec.ln_eps)
+
+    block = _block_fn(spec)
+    parallel_x = None
+    block_idx = 0
+    start = 1 if spec.early_conv else 0
+    for idx in range(start, spec.vision_layers):
+        if spec.parallel and idx in spec.lateral_layers:
+            li = spec.lateral_layers.index(idx)
+            stage_in = x if li == 0 else parallel_x
+            parallel_x = S.apply_parallel_stage(
+                v["parallel_stages"][li], stage_in,
+                spec.parallel_kernels[li], spec.parallel_strides[li],
+                spec.parallel_paddings[li], bn, f"visual/parallel{li}",
+            )
+            parallel_x, tokens = S.apply_lateral_adapter(
+                v["lateral_adapters"][li], parallel_x, tokens, (g, g),
+                spec.t2b_kernels[li], spec.t2b_strides[li],
+                spec.t2b_paddings[li], bn, f"visual/adapter{li}",
+                use_cls=spec.t2b_use_cls,
+            )
+        tokens = block(v["blocks"][block_idx], tokens, spec.vision_heads,
+                       None)
+        block_idx += 1
+
+    pooled = _pool(tokens, spec, cls_first=True)
+    pooled = L.layer_norm(v["ln_post"], pooled, eps=spec.ln_eps)
+    feats = jnp.dot(pooled, v["proj"].astype(spec.dtype),
+                    precision=jax.lax.Precision.HIGHEST)
+    if normalize:
+        feats = L.l2_normalize(feats)
+    return feats
+
+
+def encode_text(params, spec: MSClipSpec, tokens, *, normalize=True):
+    """tokens: ``[B, 77]`` int32 -> ``[B, embed_dim]``.
+
+    Text stack (SURVEY.md §3.2): embedding + positional, causal-masked
+    blocks (layers >= N_LAYERS consume the visual trunk's shared attn/mlp),
+    eot-argmax pooling, ln_final, text projection, L2 norm.
+    """
+    t = params["text"]
+    x = t["token_embedding"][tokens].astype(spec.dtype)
+    x = x + t["positional_embedding"].astype(spec.dtype)
+    mask = L.build_causal_mask(spec.context_length)
+
+    block = _block_fn(spec)
+    for i in range(spec.text_layers):
+        x = block(resolve_text_block(params, spec, i), x, spec.text_heads,
+                  mask)
+
+    # EOT pooling: the eot token has the highest id in each row; argmax
+    # picks its (first) position (reference ``:3055-3060``).
+    eot_idx = jnp.argmax(tokens, axis=-1)
+    pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
+    pooled = L.layer_norm(t["ln_final"], pooled, eps=spec.ln_eps)
+    feats = jnp.dot(pooled, t["text_projection"].astype(spec.dtype),
+                    precision=jax.lax.Precision.HIGHEST)
+    if normalize:
+        feats = L.l2_normalize(feats)
+    return feats
+
+
+def _pool(tokens, spec: MSClipSpec, cls_first=True):
+    if spec.pool_type == "average":
+        if spec.skip_cls:
+            tokens = tokens[:, 1:, :]
+        return jnp.mean(tokens, axis=1)
+    # 'default': CLS token
+    return tokens[:, 0, :]
+
+
+def forward(params, spec: MSClipSpec, images, tokens, *, axis_name=None,
+            bn: Optional[BNState] = None):
+    """Training forward: global-batch contrastive logits.
+
+    With ``axis_name`` set (inside shard_map/pjit over a mesh), embeddings
+    are all-gathered with ``jax.lax.all_gather`` — natively differentiable,
+    replacing the reference's grad-preserving gather hack
+    (``lib/utils/comm.py:140-154``).
+    """
+    feats_i = encode_image(params, spec, images, bn=bn)
+    feats_t = encode_text(params, spec, tokens)
+    T = jnp.exp(params["logit_scale"]).astype(feats_i.dtype)
+    if spec.gather_tensors and axis_name is not None:
+        feats_i = jax.lax.all_gather(feats_i, axis_name, tiled=True)
+        feats_t = jax.lax.all_gather(feats_t, axis_name, tiled=True)
+    return T * feats_i @ feats_t.T
+
+
+# ---------------------------------------------------------------------------
+# Factory
+# ---------------------------------------------------------------------------
+
+class MSClipModel:
+    """Thin convenience wrapper bundling a spec with its apply functions.
+
+    The public construction API mirrors the reference factory
+    (``get_clip_model(config)``): ``build_model(config)``.
+    """
+
+    def __init__(self, spec: MSClipSpec):
+        self.spec = spec
+
+    def init(self, key):
+        return init_params(key, self.spec)
+
+    def encode_image(self, params, images, **kw):
+        return encode_image(params, self.spec, images, **kw)
+
+    def encode_text(self, params, tokens, **kw):
+        return encode_text(params, self.spec, tokens, **kw)
+
+    def __call__(self, params, images, tokens, **kw):
+        return forward(params, self.spec, images, tokens, **kw)
+
+
+def build_model(config) -> MSClipModel:
+    return MSClipModel(spec_from_config(config))
+
+
+def param_count(params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))

