@@ -1,0 +1,176 @@
+"""Zero-shot evaluation engine.
+
+The TPU-native rebuild of the reference eval pipeline
+(``tools/zero_shot.py:183-310``, SURVEY.md §3.2):
+
+* classifier build — all ``n_classes x n_templates`` prompts are tokenized
+  host-side, then text-encoded in one jit-compiled chunked loop (the
+  reference does 1,000 sequential 80-text forwards);
+* image loop — jit-compiled image encoder over a prefetching host loader
+  with padded static-shape batches;
+* metric finalize — accuracy / 11-point mAP / mean-per-class / ROC-AUC
+  selected by ``TEST.METRIC``.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import ClipTokenizer, get_classnames, get_templates
+from ..data.loader import BatchLoader
+from ..models import MSClipModel
+from ..utils import metrics as M
+
+
+def build_zeroshot_classifier(model: MSClipModel, params, tokenizer,
+                              classnames, templates, chunk_size: int = 1024):
+    """Prompt-ensemble classifier: ``[embed_dim, n_classes]``.
+
+    Per class: encode all templates (L2-normed), average, re-normalize
+    (reference ``zeroshot_classifier``, tools/zero_shot.py:122-134).
+    """
+    n_classes, n_templates = len(classnames), len(templates)
+    texts = [t.format(c) for c in classnames for t in templates]
+    tokens = tokenizer(texts, model.spec.context_length)  # [C*T, 77]
+
+    encode = jax.jit(lambda p, t: model.encode_text(p, t))
+    total = tokens.shape[0]
+    # pad to a whole number of chunks for a single compiled shape
+    pad = (-total) % chunk_size
+    if pad:
+        tokens = np.concatenate([tokens, tokens[:pad]], axis=0)
+    embeds = []
+    for i in range(0, tokens.shape[0], chunk_size):
+        embeds.append(encode(params, jnp.asarray(tokens[i : i + chunk_size])))
+    embeds = jnp.concatenate(embeds, axis=0)[:total]
+    embeds = embeds.reshape(n_classes, n_templates, -1)
+    class_embeds = embeds.mean(axis=1)
+    class_embeds = class_embeds / jnp.linalg.norm(
+        class_embeds, axis=-1, keepdims=True
+    )
+    return class_embeds.T  # [E, C]
+
+
+def make_dataset(config, transform=None):
+    """Dataset factory mirroring the reference's dispatch
+    (tools/zero_shot.py:208-217) plus a synthetic fallback for CI."""
+    import os
+
+    from ..data.datasets import (
+        ChestXRay8,
+        HatefulMemes,
+        ImageFolderDataset,
+        SyntheticImageDataset,
+        Voc2007Classification,
+    )
+
+    name = config.DATASET.DATASET
+    root = config.DATASET.ROOT
+    if name == "voc2007classification":
+        return Voc2007Classification(root, image_set="test",
+                                     transform=transform)
+    if name == "hatefulmemes":
+        return HatefulMemes(root, image_set="val", transform=transform)
+    if name == "chestxray8":
+        return ChestXRay8(root, image_set="test", transform=transform)
+    if name == "synthetic":
+        return SyntheticImageDataset(
+            n=config.DATASET.get("NUM_SAMPLES", 256),
+            size=config.TEST.IMAGE_SIZE[0],
+            n_classes=config.DATASET.get("NUM_CLASSES", 1000),
+        )
+    return ImageFolderDataset(
+        os.path.join(root, config.DATASET.TEST_SET), transform=transform
+    )
+
+
+def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
+    """Full zero-shot eval; returns (metric_value, stats dict)."""
+    from ..models import build_model
+    from .checkpoint_load import load_model_params
+
+    model = build_model(config)
+    params = load_model_params(config, model)
+
+    tokenizer = ClipTokenizer()
+    prompt_name = prompt_dataset or config.DATASET.DATASET
+    if prompt_name == "synthetic":
+        prompt_name = "imagenet"
+    classnames = get_classnames(prompt_name)
+    templates = get_templates(prompt_name)
+
+    logging.info("=> Start to build zeroshot classifier "
+                 f"({len(classnames)} classes x {len(templates)} templates)")
+    t0 = time.time()
+    weights = build_zeroshot_classifier(
+        model, params, tokenizer, classnames, templates
+    )
+    weights.block_until_ready()
+    logging.info(f"=> classifier built in {time.time() - t0:.1f}s")
+
+    if dataset is None:
+        dataset = make_dataset(config)
+    loader = BatchLoader(
+        dataset,
+        batch_size=config.TEST.BATCH_SIZE_PER_GPU,
+        workers=config.WORKERS,
+    )
+
+    @jax.jit
+    def logits_fn(params, weights, images):
+        feats = model.encode_image(params, images)
+        return 100.0 * feats @ weights
+
+    metric = config.TEST.get("METRIC", "accuracy")
+    top1 = M.AverageMeter()
+    all_logits, all_y = [], []
+    n_images = 0
+    t0 = time.time()
+    logging.info("=> Start to inference")
+    for batch in loader:
+        logits = logits_fn(params, weights, jnp.asarray(batch["image"]))
+        logits = np.asarray(logits)
+        mask = batch["mask"]
+        n_images += int(mask.sum())
+        if metric in ("11point_mAP", "mean-per-class", "roc_auc"):
+            all_logits.append(logits[mask])
+            all_y.append(np.asarray(batch["label"])[mask])
+        else:
+            prec1 = M.topk_accuracy(logits, batch["label"], (1,), mask)[0]
+            top1.update(prec1, int(mask.sum()))
+    elapsed = time.time() - t0
+
+    if metric == "11point_mAP":
+        value = M.multilabel_map_11points(
+            np.concatenate(all_y), np.concatenate(all_logits)
+        )
+    elif metric == "mean-per-class":
+        value = M.mean_per_class_accuracy(
+            np.concatenate(all_y), np.concatenate(all_logits)
+        )
+    elif metric == "roc_auc":
+        value = M.roc_auc(np.concatenate(all_y), np.concatenate(all_logits))
+    else:
+        value = top1.avg
+
+    stats = {
+        "n_images": n_images,
+        "elapsed_s": elapsed,
+        "images_per_sec": n_images / max(elapsed, 1e-9),
+        "metric": metric,
+    }
+    logging.info(
+        "=> {dataset}% TEST:\t"
+        "Error@1 {error1:.3f}%\t"
+        "{metric}@1 {top1:.3f}%\t({ips:.0f} img/s)".format(
+            dataset=config.DATASET.DATASET, metric=metric, top1=value,
+            error1=100 - value, ips=stats["images_per_sec"],
+        )
+    )
+    return value, stats

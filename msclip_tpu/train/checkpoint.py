@@ -1,0 +1,104 @@
+"""Native checkpointing (Orbax) + auto-resume.
+
+The TPU-native replacement for the reference's torch-dict checkpoints
+(``lib/utils/utils.py:107-215``): the same logical contents
+(step/epoch, model params, optimizer state, perf) stored as an Orbax
+composite with async save, plus ``AUTO_RESUME`` pickup of the latest step.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _manager(directory: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+        ),
+    )
+
+
+class CheckpointManager:
+    """Save/restore of ``{params, opt_state, step, epoch, perf}``."""
+
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        self.mgr = _manager(directory, max_to_keep)
+
+    def save(self, step: int, params, opt_state=None, extra: Optional[dict] = None):
+        items = {"params": ocp.args.StandardSave(params)}
+        if opt_state is not None:
+            items["opt_state"] = ocp.args.StandardSave(opt_state)
+        if extra:
+            items["extra"] = ocp.args.JsonSave(extra)
+        self.mgr.save(step, args=ocp.args.Composite(**items))
+
+    def latest_step(self) -> Optional[int]:
+        return self.mgr.latest_step()
+
+    def restore(self, step: Optional[int] = None, params_template=None,
+                opt_state_template=None):
+        step = step if step is not None else self.mgr.latest_step()
+        if step is None:
+            return None
+        items = {}
+        if params_template is not None:
+            items["params"] = ocp.args.StandardRestore(params_template)
+        if opt_state_template is not None:
+            items["opt_state"] = ocp.args.StandardRestore(opt_state_template)
+        items["extra"] = ocp.args.JsonRestore()
+        try:
+            restored = self.mgr.restore(step, args=ocp.args.Composite(**items))
+        except Exception:
+            # checkpoint without 'extra'
+            items.pop("extra")
+            restored = self.mgr.restore(step, args=ocp.args.Composite(**items))
+        out = dict(restored)
+        out["step"] = step
+        return out
+
+    def wait(self):
+        self.mgr.wait_until_finished()
+
+    def close(self):
+        self.mgr.close()
+
+
+def save_params(path: str, params):
+    """One-shot params-only save (model export)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def restore_params(path: str, model):
+    """Restore a params-only checkpoint saved by ``save_params``."""
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0))
+    )
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), template)
+    ckptr.close()
+    return restored
+
+
+def auto_resume(manager: CheckpointManager, params, opt_state):
+    """``TRAIN.AUTO_RESUME`` semantics (``lib/utils/utils.py:117-127``):
+    pick up the latest checkpoint if one exists, else return inputs."""
+    step = manager.latest_step()
+    if step is None:
+        return params, opt_state, 0, {}
+    restored = manager.restore(
+        step, params_template=params, opt_state_template=opt_state
+    )
+    logging.info(f"=> auto-resumed from step {step}")
+    extra = restored.get("extra") or {}
+    return restored["params"], restored.get("opt_state", opt_state), step, extra
