@@ -386,12 +386,12 @@ def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
             parallel_x = S.apply_parallel_stage(
                 v["parallel_stages"][li], stage_in,
                 spec.parallel_kernels[li], spec.parallel_strides[li],
-                spec.parallel_paddings[li], bn, f"visual/parallel{li}",
+                spec.parallel_paddings[li], bn, f"visual/parallel_stages/{li}",
             )
             parallel_x, tokens = S.apply_lateral_adapter(
                 v["lateral_adapters"][li], parallel_x, tokens, (g, g),
                 spec.t2b_kernels[li], spec.t2b_strides[li],
-                spec.t2b_paddings[li], bn, f"visual/adapter{li}",
+                spec.t2b_paddings[li], bn, f"visual/lateral_adapters/{li}",
                 use_cls=spec.t2b_use_cls,
             )
         tokens = block(v["blocks"][block_idx], tokens, spec.vision_heads,

@@ -98,9 +98,9 @@ def apply_earlyconv_res(p, x, strides, bn: BNState, first_conv_k=3,
     for i, (sp, s) in enumerate(zip(p["stages"], strides)):
         # ResBasicBlock_v0: conv3x3(s) + BN, 1x1-downsample(s) + BN, add, ReLU
         out = conv2d(sp["conv1"], x, stride=s, padding=1)
-        out = bn(sp["bn1"], out, f"{path}/stage{i}/bn1")
+        out = bn(sp["bn1"], out, f"{path}/stages/{i}/bn1")
         identity = conv2d(sp["down_conv"], x, stride=s, padding=0)
-        identity = bn(sp["down_bn"], identity, f"{path}/stage{i}/down_bn")
+        identity = bn(sp["down_bn"], identity, f"{path}/stages/{i}/down_bn")
         x = jax.nn.relu(out + identity)
     return conv2d(p["last_conv"], x, stride=1, padding=0)
 
@@ -182,7 +182,7 @@ def apply_parallel_stage(p, x, k, stride, padding, bn: BNState, path):
         return jax.nn.relu(bn(p["bn"], x, f"{path}/bn"))
     for j, blk in enumerate(p["blocks"]):
         s = stride if j == 0 else 1
-        x = apply_conv_res_block(blk, x, k, s, padding, bn, f"{path}/b{j}")
+        x = apply_conv_res_block(blk, x, k, s, padding, bn, f"{path}/blocks/{j}")
     return x
 
 

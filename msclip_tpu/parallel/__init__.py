@@ -1,0 +1,29 @@
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    create_mesh,
+    mesh_from_config,
+    param_shardings,
+    replicated,
+    shard_params,
+)
+from .infonce import (
+    chunked_sharded_infonce_loss,
+    infonce_loss,
+    sharded_infonce_loss,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharding",
+    "create_mesh",
+    "mesh_from_config",
+    "param_shardings",
+    "replicated",
+    "shard_params",
+    "chunked_sharded_infonce_loss",
+    "infonce_loss",
+    "sharded_infonce_loss",
+]

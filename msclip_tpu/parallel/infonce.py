@@ -1,0 +1,130 @@
+"""Global-batch InfoNCE losses.
+
+Two implementations of the contrastive objective implied by the reference's
+training forward (``clip_openai_pe_res_v1.py:3126-3155``: all-gather both
+embedding sets, ``logits = exp(logit_scale) * img_all @ txt_all.T``, CE in
+both directions):
+
+* ``infonce_loss``          — single-device / pjit-global: the full
+  ``[B, B]`` similarity matrix. Fine up to a few-thousand global batch.
+* ``sharded_infonce_loss``  — for shard_map over the ``data`` axis:
+  each chip holds only its ``[B_local, B_global]`` logit block (both
+  directions), with stable fp32 log-softmax; the full ``[B_global,
+  B_global]`` matrix is never materialized per chip. This is the
+  memory-efficient 32k-batch pattern (SURVEY.md §5 long-context note,
+  BASELINE config #5). ``jax.lax.all_gather`` is natively differentiable —
+  no grad-preserving hack needed (reference ``lib/utils/comm.py:140-154``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _ce(logits, labels):
+    """Cross-entropy with fp32 log-softmax."""
+    logits = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+    return (logz - gold).mean()
+
+
+def infonce_loss(feats_img, feats_txt, logit_scale):
+    """Symmetric InfoNCE over the (global) batch. Inputs L2-normalized
+    ``[B, E]``; returns scalar fp32 loss."""
+    T = jnp.exp(logit_scale).astype(jnp.float32)
+    logits = T * jnp.dot(
+        feats_img.astype(jnp.float32), feats_txt.astype(jnp.float32).T,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    labels = jnp.arange(logits.shape[0])
+    return 0.5 * (_ce(logits, labels) + _ce(logits.T, labels))
+
+
+def sharded_infonce_loss(feats_img, feats_txt, logit_scale, axis_name="data"):
+    """InfoNCE inside shard_map: per-chip ``[b, B_global]`` logit blocks.
+
+    feats_img/feats_txt: this chip's ``[b, E]`` shard (L2-normalized).
+    """
+    T = jnp.exp(logit_scale).astype(jnp.float32)
+    b = feats_img.shape[0]
+    rank = jax.lax.axis_index(axis_name)
+    labels = rank * b + jnp.arange(b)
+
+    img_all = jax.lax.all_gather(feats_img, axis_name, tiled=True)
+    txt_all = jax.lax.all_gather(feats_txt, axis_name, tiled=True)
+
+    # image -> text: rows local, columns global
+    logits_i2t = T * jnp.dot(
+        feats_img.astype(jnp.float32), txt_all.astype(jnp.float32).T,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # text -> image
+    logits_t2i = T * jnp.dot(
+        feats_txt.astype(jnp.float32), img_all.astype(jnp.float32).T,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    loss = 0.5 * (_ce(logits_i2t, labels) + _ce(logits_t2i, labels))
+    # each chip's mean is over its own rows; global loss = mean over chips
+    return jax.lax.pmean(loss, axis_name)
+
+
+def chunked_sharded_infonce_loss(feats_img, feats_txt, logit_scale,
+                                 axis_name="data", chunk: int = 4096):
+    """Like ``sharded_infonce_loss`` but streams the global columns in
+    ``chunk``-sized blocks with an online logsumexp, bounding per-chip logit
+    memory at ``2 * b * chunk`` regardless of global batch (the 32k-batch
+    configuration)."""
+    T = jnp.exp(logit_scale).astype(jnp.float32)
+    b = feats_img.shape[0]
+    rank = jax.lax.axis_index(axis_name)
+    labels = rank * b + jnp.arange(b)
+
+    img_all = jax.lax.all_gather(feats_img, axis_name, tiled=True)
+    txt_all = jax.lax.all_gather(feats_txt, axis_name, tiled=True)
+    B = img_all.shape[0]
+    chunk = min(chunk, B)
+    n_chunks = (B + chunk - 1) // chunk
+    pad = n_chunks * chunk - B
+    if pad:
+        img_all = jnp.pad(img_all, ((0, pad), (0, 0)))
+        txt_all = jnp.pad(txt_all, ((0, pad), (0, 0)))
+
+    def direction(rows, cols_all):
+        rows32 = rows.astype(jnp.float32)
+
+        def body(carry, c):
+            m, s, gold = carry
+            block = jax.lax.dynamic_slice(
+                cols_all, (c * chunk, 0), (chunk, cols_all.shape[1])
+            ).astype(jnp.float32)
+            logits = T * jnp.dot(rows32, block.T,
+                                 precision=jax.lax.Precision.HIGHEST)
+            col_ids = c * chunk + jnp.arange(chunk)
+            valid = (col_ids < B)[None, :]
+            logits = jnp.where(valid, logits, -jnp.inf)
+            # online logsumexp
+            m_new = jnp.maximum(m, logits.max(axis=-1))
+            s = s * jnp.exp(m - m_new) + jnp.exp(
+                logits - m_new[:, None]
+            ).sum(axis=-1)
+            # gold logit if this chunk holds the diagonal column
+            hit = col_ids[None, :] == labels[:, None]
+            gold = gold + jnp.where(hit, logits, 0.0).sum(axis=-1)
+            return (m_new, s, gold), None
+
+        m0 = jnp.full((b,), -jnp.inf, jnp.float32)
+        s0 = jnp.zeros((b,), jnp.float32)
+        g0 = jnp.zeros((b,), jnp.float32)
+        # mark the carry as varying over the mapped axis (the body mixes in
+        # shard-local data, so the output carry is axis-varying)
+        m0, s0, g0 = jax.lax.pvary((m0, s0, g0), (axis_name,))
+        (m, s, gold), _ = jax.lax.scan(
+            body, (m0, s0, g0), jnp.arange(n_chunks)
+        )
+        return (m + jnp.log(s) - gold).mean()
+
+    loss = 0.5 * (direction(feats_img, txt_all)
+                  + direction(feats_txt, img_all))
+    return jax.lax.pmean(loss, axis_name)

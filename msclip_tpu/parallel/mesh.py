@@ -1,0 +1,91 @@
+"""Device mesh + sharding rules.
+
+The TPU-native replacement for the reference's NCCL/DDP layer
+(``lib/utils/comm.py``, ``lib/utils/utils.py:61-73``): a 2-D
+``jax.sharding.Mesh`` with axes ``('data', 'model')``; the batch is sharded
+on ``data`` (pure DP reproduces the reference's only strategy, SURVEY.md
+§2.6), and an optional ``model`` axis tensor-parallelizes the trunk's
+attention/MLP weights. XLA inserts all collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(data: int = -1, model: int = 1,
+                devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def mesh_from_config(config, devices=None) -> Mesh:
+    return create_mesh(config.TPU.MESH_DATA, config.TPU.MESH_MODEL, devices)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _param_pspec(path_keys, leaf) -> P:
+    """Tensor-parallel partition spec for one parameter.
+
+    Megatron-style column/row split of each transformer block:
+      qkv_w [E, 3E]  -> split output dim   (column)
+      out_w [E, E]   -> split input dim    (row)
+      c_fc  [E, 4E]  -> split output dim   (column)
+      c_proj[4E, E]  -> split input dim    (row)
+    Biases of column-split layers split likewise; everything else
+    (stems, convs, LNs, embeddings) is replicated — they are tiny.
+    """
+    keys = [str(k) for k in path_keys]
+    path = "/".join(keys)
+    if "attn" in keys:
+        leafname = keys[-1]
+        if leafname in ("qkv_w", "qkv_b"):
+            return P(None, MODEL_AXIS) if leaf.ndim == 2 else P(MODEL_AXIS)
+        if leafname == "out_w":
+            return P(MODEL_AXIS, None)
+        return P()  # out_b replicated
+    if "mlp" in keys:
+        if "c_fc" in keys:
+            return P(None, MODEL_AXIS) if leaf.ndim == 2 else P(MODEL_AXIS)
+        if "c_proj" in keys and keys[-1] == "w":
+            return P(MODEL_AXIS, None)
+        return P()
+    return P()
+
+
+def param_shardings(mesh: Mesh, params):
+    """NamedSharding pytree for the full param tree."""
+
+    def one(path, leaf):
+        spec = _param_pspec([p.key if hasattr(p, "key") else p.idx
+                             for p in path], leaf)
+        if mesh.shape[MODEL_AXIS] == 1:
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(params, mesh: Mesh):
+    shardings = param_shardings(mesh, params)
+    return jax.device_put(params, shardings)

@@ -1,0 +1,122 @@
+"""Distributed-path tests on the 8-device virtual CPU mesh (SURVEY.md §4.4):
+the sharded / chunked InfoNCE (loss AND grads) must equal the single-device
+computation on the same global batch."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from msclip_tpu.parallel import (
+    chunked_sharded_infonce_loss,
+    create_mesh,
+    infonce_loss,
+    sharded_infonce_loss,
+)
+
+
+def _feats(b, e, seed):
+    rng = np.random.default_rng(seed)
+    f = rng.standard_normal((b, e)).astype(np.float32)
+    return f / np.linalg.norm(f, axis=-1, keepdims=True)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("loss_fn", [sharded_infonce_loss,
+                                     chunked_sharded_infonce_loss])
+def test_sharded_loss_matches_global(loss_fn):
+    B, E = 64, 32
+    img, txt = _feats(B, E, 0), _feats(B, E, 1)
+    scale = jnp.asarray(0.7)
+    want = infonce_loss(jnp.array(img), jnp.array(txt), scale)
+
+    mesh = create_mesh(data=8, model=1)
+    fn = shard_map(
+        lambda i, t, s: loss_fn(i, t, s, axis_name="data"),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P()),
+        out_specs=P(),
+    )
+    got = fn(jnp.array(img), jnp.array(txt), scale)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+@pytest.mark.parametrize("loss_fn", [sharded_infonce_loss,
+                                     chunked_sharded_infonce_loss])
+def test_sharded_grads_match_global(loss_fn):
+    """all_gather's differentiability: grads through the sharded loss equal
+    the single-device grads (the property the reference needed a manual
+    grad-swap hack for, lib/utils/comm.py:140-154)."""
+    B, E = 32, 16
+    img, txt = _feats(B, E, 2), _feats(B, E, 3)
+    scale = jnp.asarray(0.3)
+
+    want = jax.grad(
+        lambda i, t, s: infonce_loss(i, t, s), argnums=(0, 1, 2)
+    )(jnp.array(img), jnp.array(txt), scale)
+
+    mesh = create_mesh(data=8, model=1)
+
+    def local_loss(i, t, s):
+        return loss_fn(i, t, s, axis_name="data")
+
+    grad_fn = shard_map(
+        jax.grad(local_loss, argnums=(0, 1, 2)),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P()),
+        out_specs=(P("data"), P("data"), P()),
+    )
+    got = grad_fn(jnp.array(img), jnp.array(txt), scale)
+    for g, w in zip(got[:2], want[:2]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)
+    # scale grad is pmean'd per chip; equals the global scale grad
+    np.testing.assert_allclose(float(got[2]), float(want[2]), rtol=1e-5)
+
+
+def test_chunked_padding_correct():
+    """Chunk size not dividing the global batch still gives the exact loss."""
+    B, E = 48, 16
+    img, txt = _feats(B, E, 4), _feats(B, E, 5)
+    scale = jnp.asarray(0.5)
+    want = infonce_loss(jnp.array(img), jnp.array(txt), scale)
+    mesh = create_mesh(data=8, model=1)
+    fn = shard_map(
+        lambda i, t, s: chunked_sharded_infonce_loss(
+            i, t, s, axis_name="data", chunk=20
+        ),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P()),
+        out_specs=P(),
+    )
+    got = fn(jnp.array(img), jnp.array(txt), scale)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_param_shardings_tp():
+    """TP rules: qkv/c_fc column-split, out/c_proj row-split, rest
+    replicated."""
+    from msclip_tpu.models import MSClipSpec, init_params
+    from msclip_tpu.parallel import param_shardings
+
+    mesh = create_mesh(data=4, model=2)
+    spec = MSClipSpec(
+        embed_dim=16, image_resolution=32, vision_width=64, vision_layers=2,
+        vision_patch_size=16, vision_heads=1, text_width=64, text_heads=1,
+        text_layers=2, vocab_size=128,
+    )
+    params = init_params(jax.random.PRNGKey(0), spec)
+    shardings = param_shardings(mesh, params)
+    blk = shardings["visual"]["blocks"][0]
+    assert blk["attn"]["qkv_w"].spec == P(None, "model")
+    assert blk["attn"]["out_w"].spec == P("model", None)
+    assert blk["mlp"]["c_fc"]["w"].spec == P(None, "model")
+    assert blk["mlp"]["c_proj"]["w"].spec == P("model", None)
+    assert shardings["visual"]["proj"].spec == P()
+    # shardable: device_put must succeed
+    jax.device_put(params, shardings)
