@@ -1,0 +1,174 @@
+"""Training step + loop.
+
+The TPU-native reconstruction of the reference's (absent) train driver from
+its config surface (SURVEY.md §3.3): global-batch InfoNCE over the data
+axis, AdamW param groups, warmup-cosine schedule, grad clipping, EMA,
+Orbax checkpointing with AUTO_RESUME.
+
+Parallelism: the step is jit-compiled with explicit shardings over a
+``('data','model')`` mesh — batch sharded on ``data``, params replicated
+(or TP-sharded on ``model``). Under jit, batch statistics and the InfoNCE
+similarity matrix have *global* semantics: XLA inserts the all-gathers /
+psums over ICI (the differentiable equivalent of the reference's
+``gather_tensors`` hack). For very large global batches, set
+``TPU.SHARDED_LOSS`` to switch the loss to the shard_map chunked
+online-logsumexp form.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models import msclip as MM
+from ..models.stem import BNState
+from ..parallel import (
+    DATA_AXIS,
+    chunked_sharded_infonce_loss,
+    infonce_loss,
+    param_shardings,
+)
+
+# CLIP clamps the temperature at ln(100) to keep training stable
+MAX_LOGIT_SCALE = 4.6052
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+def apply_bn_updates(params, updates: dict):
+    """Merge BNState-recorded running stats (path-string keyed) back into
+    the param tree, purely."""
+    if not updates:
+        return params
+    params = _copy_containers(params)
+    for path, stats in updates.items():
+        node = params
+        for part in path.split("/")[:-1]:
+            node = node[int(part) if part.isdigit() else part]
+        leaf = path.split("/")[-1]
+        node[leaf] = {**node[leaf], "mean": stats["mean"],
+                      "var": stats["var"]}
+    return params
+
+
+def _copy_containers(tree):
+    if isinstance(tree, dict):
+        return {k: _copy_containers(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_copy_containers(v) for v in tree]
+    return tree
+
+
+def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096):
+    """loss_fn(params, images, tokens) -> (loss, bn_updates)."""
+
+    def encode(params, images, tokens):
+        bn = BNState(training=True)
+        fi = MM.encode_image(params, spec, images, bn=bn)
+        ft = MM.encode_text(params, spec, tokens)
+        return fi, ft, bn.updates
+
+    if not sharded_loss:
+
+        def loss_fn(params, images, tokens):
+            fi, ft, bn_updates = encode(params, images, tokens)
+            loss = infonce_loss(fi, ft, params["logit_scale"])
+            return loss, bn_updates
+
+        return loss_fn
+
+    assert mesh is not None
+
+    def loss_fn(params, images, tokens):
+        fi, ft, bn_updates = encode(params, images, tokens)
+        sharded = shard_map(
+            functools.partial(
+                chunked_sharded_infonce_loss,
+                axis_name=DATA_AXIS,
+                chunk=loss_chunk,
+            ),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=P(),
+        )
+        loss = sharded(fi, ft, params["logit_scale"])
+        return loss, bn_updates
+
+    return loss_fn
+
+
+def make_train_step(spec, tx, mesh=None, sharded_loss=False,
+                    loss_chunk=4096, ema_decay: float = 0.0,
+                    donate: bool = True):
+    """Build the jit-compiled train step.
+
+    step(state, images, tokens) -> (state, metrics)
+    """
+    loss_fn = make_loss_fn(spec, mesh, sharded_loss, loss_chunk)
+
+    def step_fn(state: TrainState, images, tokens):
+        (loss, bn_updates), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, images, tokens)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = apply_bn_updates(params, bn_updates)
+        params = {**params, "logit_scale": jnp.minimum(
+            params["logit_scale"], MAX_LOGIT_SCALE
+        )}
+        ema = state.ema_params
+        if ema is not None:
+            ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema, params
+            )
+        grad_norm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": grad_norm,
+                   "logit_scale": params["logit_scale"]}
+        return TrainState(state.step + 1, params, opt_state, ema), metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def shardings_for_state(state):
+        ps = param_shardings(mesh, state.params)
+        opt_s = jax.tree.map(
+            lambda _: NamedSharding(mesh, P()), state.opt_state,
+            is_leaf=lambda x: hasattr(x, "shape"),
+        )
+        ema_s = None if state.ema_params is None else ps
+        return TrainState(NamedSharding(mesh, P()), ps, opt_s, ema_s)
+
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def jitted(state, images, tokens):
+        st_sh = shardings_for_state(state)
+        fn = jax.jit(
+            step_fn,
+            in_shardings=(st_sh, batch_sh, batch_sh),
+            out_shardings=(st_sh, NamedSharding(mesh, P())),
+            donate_argnums=(0,) if donate else (),
+        )
+        return fn(state, images, tokens)
+
+    return jitted
+
+
+def init_train_state(model, tx, key=None, ema_decay: float = 0.0,
+                     params=None) -> TrainState:
+    if params is None:
+        params = model.init(key if key is not None else jax.random.PRNGKey(0))
+    opt_state = tx.init(params)
+    ema = jax.tree.map(lambda x: x, params) if ema_decay > 0 else None
+    return TrainState(jnp.zeros((), jnp.int32), params, opt_state, ema)

@@ -1,0 +1,204 @@
+"""Training-step tests: optimizer groups, BN-stat threading, loss descent,
+mesh-sharded step equivalence, checkpoint save/resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msclip_tpu.config import get_default_config
+from msclip_tpu.models import MSClipModel, MSClipSpec
+from msclip_tpu.train.optim import (
+    build_optimizer,
+    param_labels,
+    timm_cosine_schedule,
+    wd_mask,
+)
+from msclip_tpu.train.trainer import (
+    TrainState,
+    init_train_state,
+    make_train_step,
+)
+
+
+def tiny_spec(**kw):
+    defaults = dict(
+        embed_dim=16,
+        image_resolution=32,
+        vision_width=64,
+        vision_layers=3,
+        vision_patch_size=16,
+        vision_heads=1,
+        text_width=64,
+        text_heads=1,
+        text_layers=3,
+        vocab_size=128,
+        context_length=16,
+        share_modules=(
+            "attn.in_proj_weight", "attn.in_proj_bias", "attn.out_proj",
+            "mlp",
+        ),
+        share_n_layers=1,
+    )
+    defaults.update(kw)
+    return MSClipSpec(**defaults)
+
+
+def tiny_msclips_spec():
+    """With stem + parallel branch so BN training stats are exercised."""
+    return tiny_spec(
+        early_conv=True,
+        parallel=True,
+        lateral_layers=(2,),
+        t2b_kernels=(16, 8, 4, 2, 1),
+        t2b_paddings=(0, 0, 0, 0, 0),
+        t2b_strides=(16, 8, 4, 2, 1),
+        t2b_use_cls=True,
+        parallel_resnet_layers=(0, 1, 1, 1, 1),
+    )
+
+
+def _cfg():
+    cfg = get_default_config()
+    cfg.TRAIN.LR = 1e-3
+    cfg.TRAIN.WD = 0.05
+    cfg.TRAIN.WITHOUT_WD_LIST = ["bn", "bias", "ln"]
+    cfg.TRAIN.END_EPOCH = 4
+    cfg.TRAIN.LR_SCHEDULER.merge_from_dict(
+        {"METHOD": "timm",
+         "ARGS": {"warmup_epochs": 1, "warmup_lr": 1e-6, "min_lr": 1e-5}}
+    )
+    cfg.CUSTOM.LR_SHARE = 2e-3
+    cfg.CUSTOM.WD_SHARE = 0.2
+    return cfg
+
+
+def _batch(spec, b=8, seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.standard_normal(
+        (b, spec.image_resolution, spec.image_resolution, 3)
+    ).astype(np.float32)
+    tokens = np.zeros((b, spec.context_length), np.int32)
+    tokens[:, 0] = spec.vocab_size - 2
+    for i in range(b):
+        n = int(rng.integers(3, spec.context_length - 1))
+        tokens[i, 1:n] = rng.integers(1, spec.vocab_size - 2, n - 1)
+        tokens[i, n] = spec.vocab_size - 1
+    return jnp.asarray(images), jnp.asarray(tokens)
+
+
+def test_param_labels():
+    spec = tiny_msclips_spec()
+    model = MSClipModel(spec)
+    params = model.init(jax.random.PRNGKey(0))
+    labels = param_labels(params, spec)
+    # BN stats are frozen state
+    assert labels["visual"]["stem"]["bn1"]["mean"] == "state"
+    assert labels["visual"]["stem"]["bn1"]["scale"] == "regular"
+    # shared trunk tensors get the 'shared' group (trunk block 0 = layer 1)
+    assert labels["visual"]["blocks"][0]["attn"]["qkv_w"] == "shared"
+    assert labels["visual"]["blocks"][0]["mlp"]["c_fc"]["w"] == "shared"
+    # LNs inside shared blocks are NOT aliased by SHARE_MODULES
+    assert labels["visual"]["blocks"][0]["ln_1"]["scale"] == "regular"
+    assert labels["text"]["token_embedding"] == "regular"
+
+
+def test_wd_mask():
+    spec = tiny_msclips_spec()
+    model = MSClipModel(spec)
+    params = model.init(jax.random.PRNGKey(0))
+    mask = wd_mask(params, ["bn", "bias", "ln"])
+    assert mask["visual"]["blocks"][0]["attn"]["qkv_w"] is True
+    assert mask["visual"]["blocks"][0]["attn"]["qkv_b"] is False
+    assert mask["visual"]["blocks"][0]["ln_1"]["scale"] is False
+    assert mask["visual"]["stem"]["bn1"]["scale"] is False
+    assert mask["visual"]["positional_embedding"] is False  # no_weight_decay
+    assert mask["logit_scale"] is False
+    assert mask["visual"]["proj"] is True
+
+
+def test_schedule_shape():
+    sched = timm_cosine_schedule(
+        1e-3, steps_per_epoch=10, epochs=10, warmup_epochs=2,
+        warmup_lr=1e-6, min_lr=1e-5,
+    )
+    assert float(sched(0)) == pytest.approx(1e-6, rel=1e-2)
+    assert float(sched(20)) == pytest.approx(1e-3, rel=1e-2)
+    assert float(sched(200)) == pytest.approx(1e-5, rel=1e-2)
+    # monotone warmup
+    assert float(sched(10)) < float(sched(19))
+
+
+def test_train_step_descends_and_updates_bn():
+    spec = tiny_msclips_spec()
+    model = MSClipModel(spec)
+    cfg = _cfg()
+    params = model.init(jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=10)
+    state = init_train_state(model, tx, params=params)
+    step = make_train_step(spec, tx)
+
+    images, tokens = _batch(spec)
+    bn_before = np.asarray(state.params["visual"]["stem"]["bn1"]["mean"])
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, images, tokens)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    bn_after = np.asarray(state.params["visual"]["stem"]["bn1"]["mean"])
+    assert np.abs(bn_after - bn_before).max() > 1e-6
+    assert int(state.step) == 8
+
+
+def test_train_step_sharded_matches_single():
+    """The mesh-sharded step (8-device DP + sharded loss) must track the
+    single-device step numerically."""
+    from msclip_tpu.parallel import create_mesh
+
+    spec = tiny_spec()
+    model = MSClipModel(spec)
+    cfg = _cfg()
+    params = model.init(jax.random.PRNGKey(1))
+    tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=10)
+
+    images, tokens = _batch(spec, b=16, seed=3)
+
+    state_a = init_train_state(model, tx, params=params)
+    step_a = make_train_step(spec, tx, donate=False)
+    state_a, m_a = step_a(state_a, images, tokens)
+
+    mesh = create_mesh(data=8, model=1)
+    state_b = init_train_state(model, tx, params=params)
+    step_b = make_train_step(spec, tx, mesh=mesh, sharded_loss=True,
+                             loss_chunk=8, donate=False)
+    state_b, m_b = step_b(state_b, images, tokens)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-4)
+    la = jax.tree.leaves(state_a.params)
+    lb = jax.tree.leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from msclip_tpu.train import CheckpointManager, auto_resume
+
+    spec = tiny_spec()
+    model = MSClipModel(spec)
+    cfg = _cfg()
+    params = model.init(jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=10)
+    state = init_train_state(model, tx, params=params)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(5, state.params, state.opt_state, extra={"epoch": 1})
+    mgr.wait()
+
+    p2, o2, step, extra = auto_resume(mgr, state.params, state.opt_state)
+    assert step == 5
+    assert extra["epoch"] == 1
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
