@@ -1,0 +1,94 @@
+"""Headline benchmark: zero-shot eval image throughput per chip.
+
+Measures jit-compiled MS-CLIP-S ViT-B/32 ``encode_image`` + classifier
+matmul throughput (bf16 compute, fp32 params) on the available device —
+the hot loop of the reference's eval pipeline (SURVEY.md §3.2 hot loop #2).
+Baseline target (BASELINE.md): >=10,000 images/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_IMG_PER_SEC = 10_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from msclip_tpu.config import get_default_config, update_config
+    from msclip_tpu.models import MSClipModel, spec_from_config
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    cfg = get_default_config()
+    update_config(
+        cfg, os.path.join(root, "experiments/model/b32-yfcc-msclips.yaml")
+    )
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    use_pallas = os.environ.get("BENCH_PALLAS")
+    if use_pallas:
+        cfg.TPU.USE_PALLAS = True
+    spec = spec_from_config(cfg)
+    model = MSClipModel(spec)
+    params = model.init(jax.random.PRNGKey(0))
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "8"))
+    n_classes = 1000
+
+    classifier = jax.random.normal(
+        jax.random.PRNGKey(1), (spec.embed_dim, n_classes), jnp.bfloat16
+    )
+
+    @jax.jit
+    def eval_step(params, classifier, images):
+        feats = model.encode_image(params, images)
+        logits = 100.0 * feats @ classifier.astype(feats.dtype)
+        # reduce to ONE scalar: fetching it forces full completion without
+        # relying on block_until_ready semantics (flaky over remote tunnels)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32).sum()
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.standard_normal((batch, 224, 224, 3)).astype(np.float32)
+    )
+
+    # compile + warmup (scalar fetch = true completion barrier)
+    int(eval_step(params, classifier, images))
+    int(eval_step(params, classifier, images))
+
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        int(eval_step(params, classifier, images))
+        times.append(time.perf_counter() - t0)
+    # median per-batch latency: robust to tunnel hiccups
+    per_batch = sorted(times)[len(times) // 2]
+
+    n_chips = jax.local_device_count()
+    ips = batch / per_batch / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "zero-shot eval throughput, MS-CLIP-S ViT-B/32 @224 "
+                    "bf16 (encode_image + 1k-class logits)"
+                ),
+                "value": round(ips, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Image-text pair datasets for contrastive pretraining.
+
+The reference trains on YFCC-22M / LAION-20M TSV shards
+(``DATASET.TRAIN_TSV_LIST``, ``lib/config/default.py:67``); the loading code
+is not part of the release. We provide:
+
+* ``TsvPairDataset``     — tab-separated ``image_path<TAB>caption`` shards
+  (paths relative to the TSV's directory or absolute);
+* ``FolderPairDataset``  — a directory of images with sidecar ``.txt``
+  captions;
+* ``SyntheticPairDataset`` — deterministic random pairs for CI/bench.
+
+All yield ``(float32 HWC image, int32 [context_length] tokens)``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from .tokenizer import ClipTokenizer
+from .transforms import pil_eval_transform
+
+
+class TsvPairDataset:
+    def __init__(self, tsv_paths: List[str], tokenizer: ClipTokenizer,
+                 context_length: int = 77, transform=None):
+        self.tokenizer = tokenizer
+        self.context_length = context_length
+        self.transform = transform or pil_eval_transform
+        self.entries = []
+        for tsv in tsv_paths:
+            base = os.path.dirname(os.path.abspath(tsv))
+            with open(tsv) as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    path, caption = line.split("\t", 1)
+                    if not os.path.isabs(path):
+                        path = os.path.join(base, path)
+                    self.entries.append((path, caption))
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, i):
+        from .datasets import _load_image
+
+        path, caption = self.entries[i]
+        image = self.transform(_load_image(path))
+        tokens = self.tokenizer([caption], self.context_length)[0]
+        return image, tokens
+
+
+class FolderPairDataset:
+    """``<root>/xxx.jpg`` + ``<root>/xxx.txt`` caption sidecars."""
+
+    def __init__(self, root: str, tokenizer: ClipTokenizer,
+                 context_length: int = 77, transform=None):
+        from .datasets import IMG_EXTENSIONS
+
+        self.root = root
+        self.tokenizer = tokenizer
+        self.context_length = context_length
+        self.transform = transform or pil_eval_transform
+        self.items = []
+        for fname in sorted(os.listdir(root)):
+            if fname.lower().endswith(IMG_EXTENSIONS):
+                stem = os.path.splitext(fname)[0]
+                txt = os.path.join(root, stem + ".txt")
+                if os.path.exists(txt):
+                    self.items.append((os.path.join(root, fname), txt))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        from .datasets import _load_image
+
+        img_path, txt_path = self.items[i]
+        with open(txt_path) as f:
+            caption = f.read().strip()
+        image = self.transform(_load_image(img_path))
+        tokens = self.tokenizer([caption], self.context_length)[0]
+        return image, tokens
+
+
+class SyntheticPairDataset:
+    def __init__(self, n: int = 1024, size: int = 224,
+                 context_length: int = 77, vocab_size: int = 49408,
+                 seed: int = 0):
+        self.n = n
+        self.size = size
+        self.context_length = context_length
+        self.vocab_size = vocab_size
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(self.seed + i)
+        image = rng.standard_normal(
+            (self.size, self.size, 3)
+        ).astype(np.float32)
+        tokens = np.zeros(self.context_length, np.int32)
+        n = int(rng.integers(4, min(24, self.context_length - 1)))
+        tokens[0] = self.vocab_size - 2
+        tokens[1:n] = rng.integers(1, self.vocab_size - 2, n - 1)
+        tokens[n] = self.vocab_size - 1
+        return image, tokens
+
+
+def make_train_dataset(config, tokenizer: Optional[ClipTokenizer] = None):
+    tokenizer = tokenizer or ClipTokenizer()
+    ctx = config.MODEL.SPEC.TEXT.get("CONTEXT_LENGTH", 77)
+    tsvs = config.DATASET.get("TRAIN_TSV_LIST", [])
+    if tsvs:
+        return TsvPairDataset(tsvs, tokenizer, ctx)
+    name = config.DATASET.DATASET
+    if name == "synthetic":
+        return SyntheticPairDataset(
+            n=config.DATASET.get("NUM_SAMPLES", 1024),
+            size=config.TRAIN.IMAGE_SIZE[0],
+            context_length=ctx,
+            vocab_size=config.MODEL.SPEC.TEXT.get("VOCAB_SIZE", 49408),
+        )
+    root = os.path.join(config.DATASET.ROOT, config.DATASET.TRAIN_SET)
+    return FolderPairDataset(root, tokenizer, ctx)

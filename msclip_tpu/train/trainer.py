@@ -141,25 +141,15 @@ def make_train_step(spec, tx, mesh=None, sharded_loss=False,
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
-    def shardings_for_state(state):
-        ps = param_shardings(mesh, state.params)
-        opt_s = jax.tree.map(
-            lambda _: NamedSharding(mesh, P()), state.opt_state,
-            is_leaf=lambda x: hasattr(x, "shape"),
-        )
-        ema_s = None if state.ema_params is None else ps
-        return TrainState(NamedSharding(mesh, P()), ps, opt_s, ema_s)
-
+    # Mesh path: commit the batch to the data axis and let jit propagate
+    # shardings from the (already device_put) state — params may carry TP
+    # shardings, opt_state mirrors them.
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    fn = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     def jitted(state, images, tokens):
-        st_sh = shardings_for_state(state)
-        fn = jax.jit(
-            step_fn,
-            in_shardings=(st_sh, batch_sh, batch_sh),
-            out_shardings=(st_sh, NamedSharding(mesh, P())),
-            donate_argnums=(0,) if donate else (),
-        )
+        images = jax.device_put(images, batch_sh)
+        tokens = jax.device_put(tokens, batch_sh)
         return fn(state, images, tokens)
 
     return jitted

@@ -1,0 +1,128 @@
+"""Contrastive pretraining driver.
+
+The training entry point the reference release omits, reconstructed from
+its config surface (SURVEY.md §3.3) and built TPU-first: mesh-sharded jit
+train step, global-batch InfoNCE over the data axis, warmup-cosine AdamW
+with shared-param LR/WD group, Orbax checkpointing with AUTO_RESUME.
+
+    python tools/train.py --cfg experiments/model/b32-yfcc-msclips.yaml \
+        [DATASET.DATASET synthetic TRAIN.END_EPOCH 1 ...]
+"""
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msclip_tpu.config import get_default_config, update_config
+from msclip_tpu.data.loader import BatchLoader
+from msclip_tpu.data.pairs import make_train_dataset
+from msclip_tpu.models import build_model
+from msclip_tpu.parallel import mesh_from_config, shard_params
+from msclip_tpu.train import CheckpointManager, auto_resume
+from msclip_tpu.train.optim import build_optimizer
+from msclip_tpu.train.trainer import init_train_state, make_train_step
+from msclip_tpu.utils.logging import create_logger
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train an MS-CLIP model.")
+    p.add_argument("--cfg", required=True, help="model config yaml")
+    p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    config = get_default_config()
+    update_config(config, args.cfg, opts=args.opts,
+                  world_size=jax.process_count())
+
+    out_dir = create_logger(config, args.cfg, "train")
+    logging.info(f"=> devices: {jax.devices()}")
+
+    model = build_model(config)
+    spec = model.spec
+    dataset = make_train_dataset(config)
+    n_devices = jax.device_count()
+    global_batch = config.TRAIN.BATCH_SIZE_PER_GPU * n_devices
+    loader = BatchLoaderPairs(
+        dataset, global_batch, workers=config.WORKERS,
+        shuffle=config.TRAIN.SHUFFLE,
+    )
+    steps_per_epoch = max(len(dataset) // global_batch, 1)
+
+    mesh = mesh_from_config(config)
+    params = model.init(jax.random.PRNGKey(0))
+    params = shard_params(params, mesh)
+    tx, _ = build_optimizer(config, params, spec, steps_per_epoch)
+    state = init_train_state(model, tx, params=params,
+                             ema_decay=config.TRAIN.EMA_DECAY)
+
+    ckpt_mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"))
+    begin_epoch = config.TRAIN.BEGIN_EPOCH
+    if config.TRAIN.AUTO_RESUME:
+        p, o, step, extra = auto_resume(ckpt_mgr, state.params,
+                                        state.opt_state)
+        if step:
+            state = state._replace(
+                params=p, opt_state=o, step=jnp.asarray(step, jnp.int32)
+            )
+            begin_epoch = extra.get("epoch", begin_epoch)
+
+    step_fn = make_train_step(
+        spec, tx, mesh=mesh,
+        sharded_loss=config.TPU.SHARDED_LOSS,
+        ema_decay=config.TRAIN.EMA_DECAY,
+    )
+
+    logging.info(
+        f"=> training: {steps_per_epoch} steps/epoch x "
+        f"{config.TRAIN.END_EPOCH} epochs, global batch {global_batch}"
+    )
+    for epoch in range(begin_epoch, config.TRAIN.END_EPOCH):
+        t0 = time.time()
+        seen = 0
+        for i, batch in enumerate(loader):
+            state, metrics = step_fn(
+                state, jnp.asarray(batch["image"]),
+                jnp.asarray(batch["tokens"]),
+            )
+            seen += batch["image"].shape[0]
+            if (i + 1) % config.PRINT_FREQ == 0:
+                loss = float(metrics["loss"])
+                ips = seen / (time.time() - t0)
+                logging.info(
+                    f"Epoch[{epoch}] Step[{i + 1}/{steps_per_epoch}] "
+                    f"loss {loss:.4f} ({ips:.0f} samples/s)"
+                )
+        ckpt_mgr.save(int(state.step), state.params, state.opt_state,
+                      extra={"epoch": epoch + 1})
+        logging.info(f"=> epoch {epoch} done in {time.time() - t0:.1f}s")
+    ckpt_mgr.wait()
+    ckpt_mgr.close()
+    logging.info("=> training complete")
+
+
+class BatchLoaderPairs(BatchLoader):
+    """BatchLoader yielding {'image','tokens'} with drop_last semantics for
+    fixed global-batch training."""
+
+    def __init__(self, dataset, batch_size, workers=8, shuffle=True, seed=0):
+        super().__init__(dataset, batch_size, workers=workers,
+                         shuffle=shuffle, seed=seed, drop_last=True)
+
+    def __iter__(self):
+        for batch in super().__iter__():
+            yield {"image": batch["image"], "tokens": batch["label"]}
+
+
+if __name__ == "__main__":
+    main()
