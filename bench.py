@@ -49,32 +49,41 @@ def main():
     )
 
     @jax.jit
-    def eval_step(params, classifier, images):
-        feats = model.encode_image(params, images)
-        logits = 100.0 * feats @ classifier.astype(feats.dtype)
-        # reduce to ONE scalar: fetching it forces full completion without
-        # relying on block_until_ready semantics (flaky over remote tunnels)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32).sum()
+    def eval_many(params, classifier, key):
+        """n_iters eval batches chained in ONE dispatch (lax.scan), so the
+        host<->device round-trip (tens of ms over remote tunnels) is paid
+        once, not per batch. Returns one scalar; fetching it is the
+        completion barrier (block_until_ready is unreliable over tunnels).
+        """
 
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.standard_normal((batch, 224, 224, 3)).astype(np.float32)
-    )
+        base = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
 
-    # compile + warmup (scalar fetch = true completion barrier)
-    int(eval_step(params, classifier, images))
-    int(eval_step(params, classifier, images))
+        def body(carry, i):
+            # cheap per-step perturbation defeats CSE without adding
+            # measurable work
+            images = base + i.astype(jnp.float32) * 1e-6
+            feats = model.encode_image(params, images)
+            logits = 100.0 * feats @ classifier.astype(feats.dtype)
+            top1 = jnp.argmax(logits, axis=-1).astype(jnp.int32).sum()
+            return carry + top1, None
+
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.int32), jnp.arange(n_iters)
+        )
+        return total
+
+    key = jax.random.PRNGKey(2)
+    int(eval_many(params, classifier, key))  # compile + warmup
 
     times = []
-    for _ in range(n_iters):
+    for t in range(3):
         t0 = time.perf_counter()
-        int(eval_step(params, classifier, images))
+        int(eval_many(params, classifier, jax.random.PRNGKey(t)))
         times.append(time.perf_counter() - t0)
-    # median per-batch latency: robust to tunnel hiccups
-    per_batch = sorted(times)[len(times) // 2]
+    elapsed = min(times)
 
     n_chips = jax.local_device_count()
-    ips = batch / per_batch / n_chips
+    ips = batch * n_iters / elapsed / n_chips
     print(
         json.dumps(
             {
