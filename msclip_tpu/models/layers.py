@@ -129,12 +129,15 @@ def mlp(p, x):
     return linear(p["c_proj"], quick_gelu(linear(p["c_fc"], x)))
 
 
-def attention(p, x, n_head, mask=None):
+def attention(p, x, n_head, mask=None, use_pallas=False,
+              pallas_interpret=False):
     """Multi-head self-attention, batch-first ``[B, L, E]``.
 
     Matches the reference's explicit bmm/softmax/bmm pipeline with the
     query pre-scaled by ``head_dim**-0.5``; logits are accumulated in fp32
-    on the MXU via ``preferred_element_type``.
+    on the MXU via ``preferred_element_type``. With ``use_pallas`` the
+    scores/softmax/context core runs as one fused Pallas kernel (scores
+    never leave VMEM).
     """
     B, L, E = x.shape
     head_dim = E // n_head
@@ -144,26 +147,32 @@ def attention(p, x, n_head, mask=None):
     def heads(t):
         return t.reshape(B, L, n_head, head_dim).transpose(0, 2, 1, 3)
 
-    q = heads(q) * jnp.asarray(head_dim ** -0.5, x.dtype)
-    k, v = heads(k), heads(v)
+    if use_pallas:
+        from ..ops.attention import fused_attention
 
-    scores = jnp.einsum(
-        "bhld,bhmd->bhlm", q, k,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    if mask is not None:
-        scores = scores + mask.astype(scores.dtype)
-    weights = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhlm,bhmd->bhld", weights, v,
-                     precision=jax.lax.Precision.HIGHEST)
+        out = fused_attention(heads(q), heads(k), heads(v), mask,
+                              interpret=pallas_interpret)
+    else:
+        q = heads(q) * jnp.asarray(head_dim ** -0.5, x.dtype)
+        k, v = heads(k), heads(v)
+        scores = jnp.einsum(
+            "bhld,bhmd->bhlm", q, k,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if mask is not None:
+            scores = scores + mask.astype(scores.dtype)
+        weights = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhlm,bhmd->bhld", weights, v,
+                         precision=jax.lax.Precision.HIGHEST)
     out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
     return linear({"w": p["out_w"], "b": p["out_b"]}, out)
 
 
-def transformer_block(p, x, n_head, mask=None, eps=1e-12):
+def transformer_block(p, x, n_head, mask=None, eps=1e-12, use_pallas=False):
     """Pre-LN residual attention block (reference ``:1027-1028``)."""
-    x = x + attention(p["attn"], layer_norm(p["ln_1"], x, eps), n_head, mask)
+    x = x + attention(p["attn"], layer_norm(p["ln_1"], x, eps), n_head, mask,
+                      use_pallas=use_pallas)
     x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x, eps))
     return x
 

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from . import layers as L
+from . import resnet as R
 from . import stem as S
 from .stem import BNState
 
@@ -55,6 +56,9 @@ class MSClipSpec:
     vision_layers: int = 12
     vision_patch_size: int = 32
     vision_heads: int = 12
+    # non-empty selects the ModifiedResNet tower (VISION.LAYERS as a list,
+    # reference :2748-2756)
+    vision_resnet_layers: Tuple[int, ...] = ()
 
     context_length: int = 77
     vocab_size: int = 49408
@@ -92,6 +96,7 @@ class MSClipSpec:
 
     compute_dtype: str = "float32"
     remat: bool = False
+    use_pallas: bool = False
 
     # -- derived -----------------------------------------------------------
     @property
@@ -141,25 +146,28 @@ def spec_from_config(config) -> MSClipSpec:
     vision = spec_cfg.VISION
     text = spec_cfg.TEXT
 
-    if not isinstance(vision.get("LAYERS", 12), int):
-        raise NotImplementedError(
-            "ModifiedResNet vision tower ([off] in all released configs) "
-            "is not implemented yet"
-        )
     if custom.get("VISUAL_LAYER_MINUS1", False):
         raise NotImplementedError("VISUAL_LAYER_MINUS1 is [off] in released "
                                   "configs and not implemented")
 
     width = vision.get("WIDTH", 768)
     n_parallel = custom.get("PARALLEL_N_LAYERS", 5)
+    vision_layers_cfg = vision.get("LAYERS", 12)
+    if isinstance(vision_layers_cfg, int):
+        resnet_layers, vision_layers, vision_heads = (), vision_layers_cfg, width // 64
+    else:
+        # ResNet tower: heads = width*32 // 64 (reference :2749)
+        resnet_layers = tuple(vision_layers_cfg)
+        vision_layers, vision_heads = 0, width * 32 // 64
     return MSClipSpec(
         embed_dim=spec_cfg.get("EMBED_DIM", 512),
         # reference reads TRAIN.IMAGE_SIZE even for eval (:3185)
         image_resolution=config.TRAIN.IMAGE_SIZE[0],
         vision_width=width,
-        vision_layers=vision.get("LAYERS", 12),
+        vision_layers=vision_layers,
+        vision_resnet_layers=resnet_layers,
         vision_patch_size=vision.get("PATCH_SIZE", 32),
-        vision_heads=width // 64,
+        vision_heads=vision_heads,
         context_length=text.get("CONTEXT_LENGTH", 77),
         vocab_size=text.get("VOCAB_SIZE", 49408),
         text_width=text.get("WIDTH", 512),
@@ -195,6 +203,7 @@ def spec_from_config(config) -> MSClipSpec:
         share_bottom_layer=custom.get("SHARE_BOTTOM_LAYER", False),
         compute_dtype=config.TPU.COMPUTE_DTYPE,
         remat=config.TPU.REMAT,
+        use_pallas=config.TPU.USE_PALLAS,
     )
 
 
@@ -217,6 +226,19 @@ def init_params(key, spec: MSClipSpec):
     W, E = spec.vision_width, spec.embed_dim
     TW = spec.text_width
     vis_scale = W ** -0.5
+
+    if spec.vision_resnet_layers:
+        visual = {
+            "resnet": R.init_modified_resnet(
+                keys[0], spec.vision_resnet_layers, E, width=W,
+                input_resolution=spec.image_resolution,
+            )
+        }
+        return {
+            "visual": visual,
+            "text": _init_text(spec, keys),
+            "logit_scale": jnp.ones((), jnp.float32),
+        }
 
     visual = {
         "class_embedding": vis_scale
@@ -254,12 +276,34 @@ def init_params(key, spec: MSClipSpec):
             for i in range(len(spec.lateral_layers))
         ]
 
+    if spec.pool_type == "linear":
+        visual["conv_pool"] = _init_conv_pool(
+            keys[11], W,
+            spec.vision_seq_len - (1 if spec.skip_cls else 0),
+        )
+
+    return {
+        "visual": visual,
+        "text": _init_text(spec, keys),
+        "logit_scale": jnp.ones((), jnp.float32),
+    }
+
+
+def _init_conv_pool(key, width, length):
+    """Grouped conv1d pooling head (pool_type='linear'; reference
+    ``:2516-2522``): one learned weight per (channel, position)."""
+    return {"w": L.trunc_normal(key, (length, width), 0.02),
+            "b": jnp.zeros((width,), jnp.float32)}
+
+
+def _init_text(spec: MSClipSpec, keys):
+    TW, E = spec.text_width, spec.embed_dim
     shared_keys = set(spec.shared_param_keys())
     text_blocks = []
     tkeys = jax.random.split(keys[7], spec.text_layers)
     for i in range(spec.text_layers):
         blk = _init_block_xavier_qkv(tkeys[i], TW)
-        if spec.text_layer_is_shared(i):
+        if spec.text_layer_is_shared(i) and not spec.vision_resnet_layers:
             blk = _strip_shared(blk, shared_keys)
         text_blocks.append(blk)
 
@@ -274,12 +318,11 @@ def init_params(key, spec: MSClipSpec):
         "ln_final": L.init_layer_norm(TW),
         "text_projection": L.trunc_normal(keys[10], (TW, E), 0.02),
     }
-
-    return {
-        "visual": visual,
-        "text": text,
-        "logit_scale": jnp.ones((), jnp.float32),
-    }
+    if spec.pool_type == "linear":
+        text["conv_pool"] = _init_conv_pool(
+            jax.random.fold_in(keys[10], 1), TW, spec.context_length
+        )
+    return text
 
 
 def _init_block_xavier_qkv(key, dim):
@@ -314,7 +357,7 @@ def resolve_text_block(params, spec: MSClipSpec, i: int):
     its own params with the visual trunk's shared tensors (the functional
     equivalent of the reference's setattr aliasing, ``:2786-2830``)."""
     own = params["text"]["blocks"][i]
-    if not spec.text_layer_is_shared(i):
+    if not spec.text_layer_is_shared(i) or spec.vision_resnet_layers:
         return own
     vis = params["visual"]["blocks"][i - (1 if spec.early_conv else 0)]
     shared = set(spec.shared_param_keys())
@@ -336,7 +379,7 @@ def resolve_text_block(params, spec: MSClipSpec, i: int):
 
 def _block_fn(spec: MSClipSpec):
     fn = lambda p, x, heads, mask: L.transformer_block(
-        p, x, heads, mask, eps=spec.ln_eps
+        p, x, heads, mask, eps=spec.ln_eps, use_pallas=spec.use_pallas
     )
     if spec.remat:
         fn = jax.checkpoint(fn, static_argnums=(2,))
@@ -358,6 +401,15 @@ def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
     B = x.shape[0]
     W = spec.vision_width
     g = spec.grid
+
+    if spec.vision_resnet_layers:
+        feats = R.apply_modified_resnet(
+            v["resnet"], x, spec.vision_resnet_layers, spec.vision_heads,
+            bn, path="visual/resnet",
+        )
+        if normalize:
+            feats = L.l2_normalize(feats)
+        return feats
 
     if spec.early_conv:
         fmap = S.apply_earlyconv_res(
@@ -398,7 +450,7 @@ def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
                        None)
         block_idx += 1
 
-    pooled = _pool(tokens, spec, cls_first=True)
+    pooled = _pool(tokens, spec, conv_pool=v.get("conv_pool"))
     pooled = L.layer_norm(v["ln_post"], pooled, eps=spec.ln_eps)
     feats = jnp.dot(pooled, v["proj"].astype(spec.dtype),
                     precision=jax.lax.Precision.HIGHEST)
@@ -424,10 +476,17 @@ def encode_text(params, spec: MSClipSpec, tokens, *, normalize=True):
         x = block(resolve_text_block(params, spec, i), x, spec.text_heads,
                   mask)
 
-    # EOT pooling: the eot token has the highest id in each row; argmax
-    # picks its (first) position (reference ``:3055-3060``).
-    eot_idx = jnp.argmax(tokens, axis=-1)
-    pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
+    if spec.pool_type == "linear":
+        w = t["conv_pool"]["w"].astype(x.dtype)
+        pooled = jnp.einsum("blc,lc->bc", x, w) \
+            + t["conv_pool"]["b"].astype(x.dtype)
+    elif spec.pool_type != "default":
+        pooled = jnp.mean(x, axis=1)
+    else:
+        # EOT pooling: the eot token has the highest id in each row; argmax
+        # picks its (first) position (reference ``:3055-3060``).
+        eot_idx = jnp.argmax(tokens, axis=-1)
+        pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
     pooled = L.layer_norm(t["ln_final"], pooled, eps=spec.ln_eps)
     feats = jnp.dot(pooled, t["text_projection"].astype(spec.dtype),
                     precision=jax.lax.Precision.HIGHEST)
@@ -436,11 +495,19 @@ def encode_text(params, spec: MSClipSpec, tokens, *, normalize=True):
     return feats
 
 
-def _pool(tokens, spec: MSClipSpec, cls_first=True):
+def _pool(tokens, spec: MSClipSpec, conv_pool=None):
     if spec.pool_type == "average":
         if spec.skip_cls:
             tokens = tokens[:, 1:, :]
         return jnp.mean(tokens, axis=1)
+    if spec.pool_type == "linear":
+        # grouped conv1d over the sequence (reference :2678-2683):
+        # out[b, c] = sum_l tokens[b, l, c] * w[l, c] + b[c]
+        if spec.skip_cls:
+            tokens = tokens[:, 1:, :]
+        w = conv_pool["w"].astype(tokens.dtype)
+        return jnp.einsum("blc,lc->bc", tokens, w) \
+            + conv_pool["b"].astype(tokens.dtype)
     # 'default': CLS token
     return tokens[:, 0, :]
 

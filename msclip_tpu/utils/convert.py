@@ -96,14 +96,56 @@ def build_key_map(spec: MSClipSpec) -> Dict[str, Tuple[tuple, callable]]:
     # ---- top level ----
     m["logit_scale"] = (("logit_scale",), _identity)
 
+    def lin(torch_prefix, path):
+        m[f"{torch_prefix}.weight"] = (path + ("w",), _linear_w)
+        m[f"{torch_prefix}.bias"] = (path + ("b",), _identity)
+
+    def conv_pool(torch_key_prefix, path):
+        # torch grouped Conv1d weight [C, 1, L] -> [L, C]
+        m[f"{torch_key_prefix}.weight"] = (
+            path + ("w",), lambda x: _t(x)[:, 0, :].T)
+        m[f"{torch_key_prefix}.bias"] = (path + ("b",), _identity)
+
     # ---- visual tower ----
     V = ("visual",)
+
+    if spec.vision_resnet_layers:
+        # ModifiedResNet (reference :120-201)
+        rn = V + ("resnet",)
+        for i in (1, 2, 3):
+            conv(f"visual.conv{i}.weight", rn + (f"conv{i}",))
+            bnorm(f"visual.bn{i}", rn + (f"bn{i}",))
+        inplanes_has_down = True
+        for stage, n_blocks in enumerate(spec.vision_resnet_layers):
+            for j in range(n_blocks):
+                bt = f"visual.layer{stage + 1}.{j}"
+                bp = rn + (f"layer{stage + 1}", j)
+                conv(f"{bt}.conv1.weight", bp + ("conv1",))
+                bnorm(f"{bt}.bn1", bp + ("bn1",))
+                conv(f"{bt}.conv2.weight", bp + ("conv2",))
+                bnorm(f"{bt}.bn2", bp + ("bn2",))
+                conv(f"{bt}.conv3.weight", bp + ("conv3",))
+                bnorm(f"{bt}.bn3", bp + ("bn3",))
+                if j == 0:  # first block of each stage has the projection
+                    conv(f"{bt}.downsample.0.weight", bp + ("down_conv",))
+                    bnorm(f"{bt}.downsample.1", bp + ("down_bn",))
+        ap = rn + ("attnpool",)
+        m["visual.attnpool.positional_embedding"] = (
+            ap + ("positional_embedding",), _identity)
+        for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            lin(f"visual.attnpool.{proj}", ap + (proj,))
+        _map_text(m, spec, ln, lin, conv_pool, block,
+                  sharing_active=False)
+        return m
+
     m["visual.class_embedding"] = (V + ("class_embedding",), _identity)
     m["visual.positional_embedding"] = (
         V + ("positional_embedding",), _identity)
     m["visual.proj"] = (V + ("proj",), _identity)
     ln("visual.ln_pre", V + ("ln_pre",))
     ln("visual.ln_post", V + ("ln_post",))
+    if spec.pool_type == "linear":
+        conv_pool("visual.conv_pool", V + ("conv_pool",))
 
     if spec.early_conv:
         # resblocks.0 is the EarlyconvRes stem (reference :2042-2051)
@@ -162,35 +204,33 @@ def build_key_map(spec: MSClipSpec) -> Dict[str, Tuple[tuple, callable]]:
             bnorm(f"{at}.bottom_dw_conv.bn", ap + ("bottom_dw_bn",))
             ln(f"{at}.ln_adapt", ap + ("ln_adapt",))
 
-    # ---- text tower ----
+    _map_text(m, spec, ln, lin, conv_pool, block, sharing_active=True)
+    return m
+
+
+def _map_text(m, spec, ln, lin, conv_pool, block, sharing_active):
     T = ("text",)
     m["token_embedding.weight"] = (T + ("token_embedding",), _identity)
     m["positional_embedding"] = (T + ("positional_embedding",), _identity)
     m["text_projection"] = (T + ("text_projection",), _identity)
     ln("ln_final", T + ("ln_final",))
+    if spec.pool_type == "linear":
+        conv_pool("conv_pool", T + ("conv_pool",))
 
     shared_keys = set(spec.shared_param_keys())
-    shared_block_names = {
-        "attn.qkv_w": "attn.qkv_w",
-        "attn.qkv_b": "attn.qkv_b",
-        "attn.out_w": "attn.out_w",
-        "attn.out_b": "attn.out_b",
-    }
     for i in range(spec.text_layers):
         absent = ()
-        if spec.text_layer_is_shared(i):
+        if sharing_active and spec.text_layer_is_shared(i):
             absent = tuple(
                 n for n in ("attn.qkv_w", "attn.qkv_b", "attn.out_w",
                             "attn.out_b")
-                if shared_block_names[n] in shared_keys
+                if n in shared_keys
             )
             if "mlp" in shared_keys:
                 absent = absent + ("mlp.c_fc.w", "mlp.c_fc.b",
                                    "mlp.c_proj.w", "mlp.c_proj.b")
         block(f"transformer.resblocks.{i}", T + ("blocks", i),
               shared_absent=absent)
-
-    return m
 
 
 def _set_path(tree, path, value):

@@ -1,0 +1,81 @@
+"""Pallas kernel tests: interpreter-mode allclose against the XLA reference
+path (SURVEY.md §4.5)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msclip_tpu.models import layers as L
+from msclip_tpu.ops import fused_attention
+
+
+def _qkv(B, H, Lq, D, seed=0):
+    rng = np.random.default_rng(seed)
+    return tuple(
+        jnp.asarray(rng.standard_normal((B, H, Lq, D)).astype(np.float32))
+        for _ in range(3)
+    )
+
+
+def _reference(q, k, v, mask=None):
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    scores = jnp.einsum("bhld,bhmd->bhlm", q, k).astype(jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask
+    w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhlm,bhmd->bhld", w, v)
+
+
+@pytest.mark.parametrize("L_seq", [50, 77, 197])
+def test_fused_attention_matches_xla(L_seq):
+    q, k, v = _qkv(2, 3, L_seq, 64)
+    got = fused_attention(q, k, v, interpret=True)
+    want = _reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_fused_attention_causal_mask():
+    Lq = 77
+    q, k, v = _qkv(2, 2, Lq, 64, seed=1)
+    mask = L.build_causal_mask(Lq)
+    got = fused_attention(q, k, v, mask, interpret=True)
+    want = _reference(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_fused_attention_bf16():
+    q, k, v = _qkv(2, 2, 50, 64, seed=2)
+    q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    got = fused_attention(q, k, v, interpret=True)
+    want = _reference(q, k, v)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_layers_attention_pallas_path():
+    """layers.attention(use_pallas=True) equals the XLA path."""
+    rng = np.random.default_rng(3)
+    E, H, B, Lq = 64, 2, 3, 50
+    x = jnp.asarray(rng.standard_normal((B, Lq, E)).astype(np.float32))
+    p = {
+        "qkv_w": jnp.asarray(
+            rng.standard_normal((E, 3 * E)).astype(np.float32) * 0.05
+        ),
+        "qkv_b": jnp.zeros(3 * E),
+        "out_w": jnp.asarray(
+            rng.standard_normal((E, E)).astype(np.float32) * 0.05
+        ),
+        "out_b": jnp.zeros(E),
+    }
+    want = L.attention(p, x, n_head=H)
+    got = L.attention(p, x, n_head=H, use_pallas=True,
+                      pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
