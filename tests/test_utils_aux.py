@@ -1,0 +1,88 @@
+"""Auxiliary subsystem tests: comm helpers, model summary, introspection
+taps."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msclip_tpu.models import MSClipModel
+from msclip_tpu.utils.comm import comm, reduce_dict, all_gather_object
+from msclip_tpu.utils.summary import model_summary, param_tree_summary
+
+
+def _spec():
+    from test_train import tiny_msclips_spec
+
+    return tiny_msclips_spec()
+
+
+def test_comm_single_process():
+    assert comm.world_size == 1
+    assert comm.is_main_process()
+    comm.synchronize()  # no-op
+    assert all_gather_object({"a": 1}) == [{"a": 1}]
+    assert reduce_dict({"x": 2.0}) == {"x": 2.0}
+
+
+def test_param_tree_summary():
+    model = MSClipModel(_spec())
+    params = model.init(jax.random.PRNGKey(0))
+    counts = param_tree_summary(params)
+    assert counts["TOTAL"] == sum(
+        x.size for x in jax.tree.leaves(params)
+    )
+    assert any(k.startswith("visual") for k in counts)
+
+
+def test_model_summary_string():
+    model = MSClipModel(_spec())
+    params = model.init(jax.random.PRNGKey(0))
+    s = model_summary(model, params, image_size=32, context_length=16)
+    assert "TOTAL" in s
+
+
+def test_introspection_taps():
+    from msclip_tpu.models.introspect import (
+        encode_image_with_taps,
+        encode_text_with_taps,
+    )
+    from msclip_tpu.models import encode_image, encode_text
+
+    spec = _spec()
+    model = MSClipModel(spec)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    )
+    feats, taps = encode_image_with_taps(params, spec, images)
+    # features identical to the production path
+    np.testing.assert_allclose(
+        np.asarray(feats),
+        np.asarray(encode_image(params, spec, images)),
+        atol=1e-6,
+    )
+    n_blocks = spec.n_trunk_blocks
+    Lq = spec.vision_seq_len
+    assert taps["layer_features"].shape == (n_blocks, 2, Lq, 64)
+    assert taps["attn_maps"].shape == (n_blocks, 2, spec.vision_heads,
+                                       Lq, Lq)
+    # attention rows sum to 1
+    np.testing.assert_allclose(
+        np.asarray(taps["attn_maps"].sum(-1)), 1.0, atol=1e-5
+    )
+
+    tokens = np.zeros((2, spec.context_length), np.int32)
+    tokens[:, 0] = spec.vocab_size - 2
+    tokens[:, 1] = 5
+    tokens[:, 2] = spec.vocab_size - 1
+    tfeats, ttaps = encode_text_with_taps(params, spec,
+                                          jnp.asarray(tokens))
+    np.testing.assert_allclose(
+        np.asarray(tfeats),
+        np.asarray(encode_text(params, spec, jnp.asarray(tokens))),
+        atol=1e-6,
+    )
+    assert ttaps["attn_maps"].shape[0] == spec.text_layers
