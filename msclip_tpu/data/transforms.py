@@ -69,8 +69,9 @@ def device_preprocess(images_u8, size: int = 224,
     )
     x = jax.image.resize(x, (B, new_h, new_w, C), "bicubic",
                          antialias=antialias)
-    top = (new_h - size) // 2
-    left = (new_w - size) // 2
+    # torchvision CenterCrop rounds .5 up
+    top = int(round((new_h - size) / 2.0))
+    left = int(round((new_w - size) / 2.0))
     x = jax.lax.dynamic_slice(
         x, (0, top, left, 0), (B, size, size, C)
     )

@@ -1,0 +1,129 @@
+"""Data-pipeline tests with real JPEG files: ImageFolder scan, PIL-exact
+eval transform, pair datasets, device preprocessing."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def image_folder(tmp_path_factory):
+    """2-class ImageFolder with real JPEGs of assorted sizes."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("imagefolder")
+    rng = np.random.default_rng(0)
+    sizes = [(320, 240), (200, 260), (640, 480)]
+    for ci, cls in enumerate(["class_a", "class_b"]):
+        (root / cls).mkdir()
+        for i, (w, h) in enumerate(sizes):
+            arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(root / cls / f"img{i}.jpg")
+    return str(root)
+
+
+def test_image_folder_scan(image_folder):
+    from msclip_tpu.data.datasets import ImageFolderDataset
+
+    ds = ImageFolderDataset(image_folder)
+    assert len(ds) == 6
+    assert ds.classes == ["class_a", "class_b"]
+    img, label = ds[0]
+    assert img.shape == (224, 224, 3)
+    assert img.dtype == np.float32
+    assert label == 0
+    assert ds[5][1] == 1
+
+
+def test_pil_transform_matches_torchvision_semantics(image_folder):
+    """Short side -> 224, center crop, ImageNet normalize; statistics in a
+    plausible normalized range."""
+    from msclip_tpu.data.datasets import ImageFolderDataset
+
+    ds = ImageFolderDataset(image_folder)
+    img, _ = ds[2]  # 640x480 -> resize short side
+    assert img.shape == (224, 224, 3)
+    assert -3.0 < img.min() and img.max() < 3.0
+
+
+def test_loader_with_real_files(image_folder):
+    from msclip_tpu.data.datasets import ImageFolderDataset
+    from msclip_tpu.data.loader import BatchLoader
+
+    ds = ImageFolderDataset(image_folder)
+    batches = list(BatchLoader(ds, batch_size=4, workers=2))
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (4, 224, 224, 3)
+    assert batches[1]["mask"].sum() == 2
+
+
+def test_device_preprocess_close_to_pil(tmp_path):
+    """jax.image bicubic vs PIL bicubic on a smooth image: not bit-equal,
+    but close (SURVEY hard part #2 — validated at the tolerance level, not
+    bitwise; high-frequency noise decorrelates under any resampler
+    difference, natural images do not)."""
+    from PIL import Image
+
+    from msclip_tpu.data.transforms import device_preprocess, pil_eval_transform
+
+    h, w = 240, 320
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    smooth = np.stack(
+        [
+            127 + 100 * np.sin(xx / 40) * np.cos(yy / 30),
+            127 + 100 * np.cos(xx / 25),
+            127 + 100 * np.sin(yy / 50),
+        ],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+    img = Image.fromarray(smooth)
+
+    pil_out = pil_eval_transform(img)
+    dev_out = np.asarray(
+        device_preprocess(jnp.asarray(smooth[None]), size=224)
+    )[0]
+    assert dev_out.shape == pil_out.shape
+    assert np.abs(dev_out - pil_out).mean() < 0.02
+
+
+def test_folder_pair_dataset(tmp_path):
+    from PIL import Image
+
+    from msclip_tpu.data import ClipTokenizer
+    from msclip_tpu.data.pairs import FolderPairDataset
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        arr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"x{i}.jpg")
+        (tmp_path / f"x{i}.txt").write_text(f"a photo number {i}")
+    ds = FolderPairDataset(str(tmp_path), ClipTokenizer())
+    assert len(ds) == 3
+    img, tokens = ds[1]
+    assert img.shape == (224, 224, 3)
+    assert tokens.shape == (77,)
+    assert tokens[0] == 49406
+
+
+def test_tsv_pair_dataset(tmp_path):
+    from PIL import Image
+
+    from msclip_tpu.data import ClipTokenizer
+    from msclip_tpu.data.pairs import TsvPairDataset
+
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(2):
+        arr = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"im{i}.jpg")
+        lines.append(f"im{i}.jpg\tcaption number {i}")
+    tsv = tmp_path / "data.tsv"
+    tsv.write_text("\n".join(lines) + "\n")
+    ds = TsvPairDataset([str(tsv)], ClipTokenizer())
+    assert len(ds) == 2
+    img, tokens = ds[0]
+    assert img.shape == (224, 224, 3)
+    assert tokens[0] == 49406
