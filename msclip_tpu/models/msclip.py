@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from . import layers as L
 from . import resnet as R
 from . import stem as S
+from .extensions import ExtSpec, ext_spec_from_custom, extended_block, init_block_extensions
 from .stem import BNState
 
 
@@ -97,6 +98,9 @@ class MSClipSpec:
     compute_dtype: str = "float32"
     remat: bool = False
     use_pallas: bool = False
+
+    # Experimental plug-in families ([off] in released configs; SURVEY §2.3)
+    ext: ExtSpec = ExtSpec()
 
     # -- derived -----------------------------------------------------------
     @property
@@ -204,6 +208,7 @@ def spec_from_config(config) -> MSClipSpec:
         compute_dtype=config.TPU.COMPUTE_DTYPE,
         remat=config.TPU.REMAT,
         use_pallas=config.TPU.USE_PALLAS,
+        ext=ext_spec_from_custom(custom),
     )
 
 
@@ -263,6 +268,18 @@ def init_params(key, spec: MSClipSpec):
     for i in range(spec.n_trunk_blocks):
         visual["blocks"].append(_init_block_xavier_qkv(bkeys[i], W))
 
+    if spec.ext.any_active:
+        start = 1 if spec.early_conv else 0
+        ekeys = jax.random.split(jax.random.fold_in(key, 55),
+                                 spec.n_trunk_blocks)
+        visual["ext_blocks"] = [
+            init_block_extensions(
+                ekeys[i], spec.ext, W, spec.vision_heads, "visual",
+                i + start,
+            )
+            for i in range(spec.n_trunk_blocks)
+        ]
+
     if spec.parallel:
         visual["parallel_stages"] = S.init_parallel_branch(
             keys[5], W, spec.parallel_n_layers, spec.parallel_resnet_layers,
@@ -282,11 +299,17 @@ def init_params(key, spec: MSClipSpec):
             spec.vision_seq_len - (1 if spec.skip_cls else 0),
         )
 
-    return {
+    out = {
         "visual": visual,
         "text": _init_text(spec, keys),
         "logit_scale": jnp.ones((), jnp.float32),
     }
+    if spec.ext.gumbel_select:
+        # reference: 1e-3 * randn(vision_layers, 2) (:2745)
+        out["gumbel_logit"] = 1e-3 * jax.random.normal(
+            jax.random.fold_in(key, 77), (spec.vision_layers, 2), jnp.float32
+        )
+    return out
 
 
 def _init_conv_pool(key, width, length):
@@ -322,6 +345,15 @@ def _init_text(spec: MSClipSpec, keys):
         text["conv_pool"] = _init_conv_pool(
             jax.random.fold_in(keys[10], 1), TW, spec.context_length
         )
+    if spec.ext.any_active:
+        ekeys = jax.random.split(jax.random.fold_in(keys[8], 56),
+                                 spec.text_layers)
+        text["ext_blocks"] = [
+            init_block_extensions(
+                ekeys[i], spec.ext, TW, spec.text_heads, "text", i
+            )
+            for i in range(spec.text_layers)
+        ]
     return text
 
 
@@ -387,7 +419,7 @@ def _block_fn(spec: MSClipSpec):
 
 
 def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
-                 bn: Optional[BNState] = None):
+                 bn: Optional[BNState] = None, action=None):
     """images: ``[B, H, W, 3]`` (preprocessed) -> ``[B, embed_dim]``.
 
     Implements the visual call stack of SURVEY.md §3.2: stem -> tokens ->
@@ -446,8 +478,17 @@ def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
                 spec.t2b_paddings[li], bn, f"visual/lateral_adapters/{li}",
                 use_cls=spec.t2b_use_cls,
             )
-        tokens = block(v["blocks"][block_idx], tokens, spec.vision_heads,
-                       None)
+        if spec.ext.any_active:
+            tokens = extended_block(
+                v["blocks"][block_idx], v["ext_blocks"][block_idx], tokens,
+                spec.vision_heads, spec.ext, "visual", idx, (g, g),
+                mask=None, eps=spec.ln_eps, bn=bn,
+                path=f"visual/ext_blocks/{block_idx}",
+                action=None if action is None else action[idx],
+            )
+        else:
+            tokens = block(v["blocks"][block_idx], tokens,
+                           spec.vision_heads, None)
         block_idx += 1
 
     pooled = _pool(tokens, spec, conv_pool=v.get("conv_pool"))
@@ -459,7 +500,8 @@ def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
     return feats
 
 
-def encode_text(params, spec: MSClipSpec, tokens, *, normalize=True):
+def encode_text(params, spec: MSClipSpec, tokens, *, normalize=True,
+                action=None):
     """tokens: ``[B, 77]`` int32 -> ``[B, embed_dim]``.
 
     Text stack (SURVEY.md §3.2): embedding + positional, causal-masked
@@ -473,8 +515,17 @@ def encode_text(params, spec: MSClipSpec, tokens, *, normalize=True):
 
     block = _block_fn(spec)
     for i in range(spec.text_layers):
-        x = block(resolve_text_block(params, spec, i), x, spec.text_heads,
-                  mask)
+        if spec.ext.any_active:
+            x = extended_block(
+                resolve_text_block(params, spec, i),
+                t["ext_blocks"][i], x, spec.text_heads, spec.ext, "text",
+                i, None, mask=mask, eps=spec.ln_eps,
+                path=f"text/ext_blocks/{i}",
+                action=None if action is None else action[i],
+            )
+        else:
+            x = block(resolve_text_block(params, spec, i), x,
+                      spec.text_heads, mask)
 
     if spec.pool_type == "linear":
         w = t["conv_pool"]["w"].astype(x.dtype)
@@ -513,7 +564,7 @@ def _pool(tokens, spec: MSClipSpec, conv_pool=None):
 
 
 def forward(params, spec: MSClipSpec, images, tokens, *, axis_name=None,
-            bn: Optional[BNState] = None):
+            bn: Optional[BNState] = None, action=None, rng=None):
     """Training forward: global-batch contrastive logits.
 
     With ``axis_name`` set (inside shard_map/pjit over a mesh), embeddings
@@ -521,13 +572,30 @@ def forward(params, spec: MSClipSpec, images, tokens, *, axis_name=None,
     replacing the reference's grad-preserving gather hack
     (``lib/utils/comm.py:140-154``).
     """
-    feats_i = encode_image(params, spec, images, bn=bn)
-    feats_t = encode_text(params, spec, tokens)
+    if spec.ext.gumbel_select and action is None:
+        action = gumbel_action(params["gumbel_logit"], rng)
+    feats_i = encode_image(params, spec, images, bn=bn, action=action)
+    feats_t = encode_text(params, spec, tokens, action=action)
     T = jnp.exp(params["logit_scale"]).astype(feats_i.dtype)
     if spec.gather_tensors and axis_name is not None:
         feats_i = jax.lax.all_gather(feats_i, axis_name, tiled=True)
         feats_t = jax.lax.all_gather(feats_t, axis_name, tiled=True)
     return T * feats_i @ feats_t.T
+
+
+def gumbel_action(logits, rng=None, tau: float = 5.0):
+    """Hard one-hot action per layer via straight-through Gumbel-softmax
+    (reference ``CLIP.gumbel_softmax`` ``:2892-2935``); deterministic argmax
+    when ``rng`` is None (eval)."""
+    logits = logits.astype(jnp.float32)
+    if rng is not None:
+        gumbel = -jnp.log(-jnp.log(
+            jax.random.uniform(rng, logits.shape) + 1e-20) + 1e-20)
+        y = jax.nn.softmax((logits + gumbel) / tau, axis=-1)
+    else:
+        y = jax.nn.softmax(logits / tau, axis=-1)
+    hard = jax.nn.one_hot(jnp.argmax(y, axis=-1), y.shape[-1], dtype=y.dtype)
+    return jax.lax.stop_gradient(hard - y) + y
 
 
 # ---------------------------------------------------------------------------

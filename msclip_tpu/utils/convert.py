@@ -93,8 +93,82 @@ def build_key_map(spec: MSClipSpec) -> Dict[str, Tuple[tuple, callable]]:
         ln(f"{torch_prefix}.ln_1", path + ("ln_1",))
         ln(f"{torch_prefix}.ln_2", path + ("ln_2",))
 
+    def map_block_extensions(torch_prefix, ext_path, modality, layer_idx):
+        """Keys for the experimental plug-ins of one block (SURVEY §2.3
+        [off] families)."""
+        ext = spec.ext
+        if ext.layer_has("adapter", modality, layer_idx):
+            for name in ("adapter_attn", "adapter_ffn"):
+                for proj in ("down_proj", "up_proj"):
+                    lin(f"{torch_prefix}.{name}.{proj}",
+                        ext_path + (name, proj))
+        if ext.layer_has("cvt", modality, layer_idx) and not ext.cvt_inside:
+            for i in range(ext.cvt_n_dwc):
+                suffix = f"_{i + 1}" if ext.cvt_n_dwc > 1 else ""
+                conv(f"{torch_prefix}.cvt_dw.conv{suffix}.weight",
+                     ext_path + ("cvt_dw", f"conv{suffix}"))
+                bnorm(f"{torch_prefix}.cvt_dw.bn{suffix}",
+                      ext_path + ("cvt_dw", f"bn{suffix}"))
+            if ext.cvt_res:
+                ln(f"{torch_prefix}.ln_cvt", ext_path + ("ln_cvt",))
+        if ext.layer_has("cvt", modality, layer_idx) and ext.cvt_inside:
+            for name, on in (("q", ext.cvt_inside_q),
+                             ("k", ext.cvt_inside_k),
+                             ("v", ext.cvt_inside_v)):
+                if on:
+                    conv(f"{torch_prefix}.attn.cvt_{name}.conv.weight",
+                         ext_path + ("cvt_inside", name, "conv"))
+                    bnorm(f"{torch_prefix}.attn.cvt_{name}.bn",
+                          ext_path + ("cvt_inside", name, "bn"))
+        if ext.layer_has("convit", modality, layer_idx):
+            m[f"{torch_prefix}.attn.convit_pos_proj.weight"] = (
+                ext_path + ("convit", "pos_proj", "w"), _linear_w)
+            m[f"{torch_prefix}.attn.convit_pos_proj.bias"] = (
+                ext_path + ("convit", "pos_proj", "b"), _identity)
+            m[f"{torch_prefix}.attn.convit_gating_param"] = (
+                ext_path + ("convit", "gating"), _identity)
+        if ext.layer_has("container", modality, layer_idx):
+            conv(f"{torch_prefix}.attn.container_conv.conv.weight",
+                 ext_path + ("container", "conv"))
+            bnorm(f"{torch_prefix}.attn.container_conv.bn",
+                  ext_path + ("container", "bn"))
+            m[f"{torch_prefix}.attn.container_gating"] = (
+                ext_path + ("container", "gating"), _identity)
+        if ext.layer_has("lora", modality, layer_idx):
+            names = ["q", "v"]
+            if ext.lora_add_where in ("v1", "v2"):
+                names.append("k")
+            if ext.lora_add_where == "v2":
+                names.append("fc")
+            for n in names:
+                m[f"{torch_prefix}.attn.{n}_proj_adapter1.weight"] = (
+                    ext_path + ("lora", n, "a"), _linear_w)
+                m[f"{torch_prefix}.attn.{n}_proj_adapter2.weight"] = (
+                    ext_path + ("lora", n, "b"), _linear_w)
+            if ext.lora_moe == 1:
+                for n in ("q", "v"):
+                    m[f"{torch_prefix}.attn.{n}_moe_adapter1.weight"] = (
+                        ext_path + ("lora", f"{n}_moe"), _linear_w)
+        if ext.gumbel_select:
+            sp = ext_path + ("specific",)
+            m[f"{torch_prefix}.specific_attn.in_proj_weight"] = (
+                sp + ("attn", "qkv_w"), _linear_w)
+            m[f"{torch_prefix}.specific_attn.in_proj_bias"] = (
+                sp + ("attn", "qkv_b"), _identity)
+            m[f"{torch_prefix}.specific_attn.out_proj.weight"] = (
+                sp + ("attn", "out_w"), _linear_w)
+            m[f"{torch_prefix}.specific_attn.out_proj.bias"] = (
+                sp + ("attn", "out_b"), _identity)
+            lin(f"{torch_prefix}.specific_mlp.c_fc", sp + ("mlp", "c_fc"))
+            lin(f"{torch_prefix}.specific_mlp.c_proj",
+                sp + ("mlp", "c_proj"))
+            ln(f"{torch_prefix}.specific_ln_1", sp + ("ln_1",))
+            ln(f"{torch_prefix}.specific_ln_2", sp + ("ln_2",))
+
     # ---- top level ----
     m["logit_scale"] = (("logit_scale",), _identity)
+    if spec.ext.gumbel_select:
+        m["gumbel_logit"] = (("gumbel_logit",), _identity)
 
     def lin(torch_prefix, path):
         m[f"{torch_prefix}.weight"] = (path + ("w",), _linear_w)
@@ -135,7 +209,8 @@ def build_key_map(spec: MSClipSpec) -> Dict[str, Tuple[tuple, callable]]:
         for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
             lin(f"visual.attnpool.{proj}", ap + (proj,))
         _map_text(m, spec, ln, lin, conv_pool, block,
-                  sharing_active=False)
+                  sharing_active=False,
+                  map_ext=map_block_extensions)
         return m
 
     m["visual.class_embedding"] = (V + ("class_embedding",), _identity)
@@ -169,6 +244,11 @@ def build_key_map(spec: MSClipSpec) -> Dict[str, Tuple[tuple, callable]]:
     for i in range(first_block, spec.vision_layers):
         block(f"visual.transformer.resblocks.{i}",
               V + ("blocks", i - first_block))
+        if spec.ext.any_active:
+            map_block_extensions(
+                f"visual.transformer.resblocks.{i}",
+                V + ("ext_blocks", i - first_block), "visual", i,
+            )
 
     if spec.parallel:
         for i in range(spec.parallel_n_layers):
@@ -204,11 +284,13 @@ def build_key_map(spec: MSClipSpec) -> Dict[str, Tuple[tuple, callable]]:
             bnorm(f"{at}.bottom_dw_conv.bn", ap + ("bottom_dw_bn",))
             ln(f"{at}.ln_adapt", ap + ("ln_adapt",))
 
-    _map_text(m, spec, ln, lin, conv_pool, block, sharing_active=True)
+    _map_text(m, spec, ln, lin, conv_pool, block, sharing_active=True,
+              map_ext=map_block_extensions)
     return m
 
 
-def _map_text(m, spec, ln, lin, conv_pool, block, sharing_active):
+def _map_text(m, spec, ln, lin, conv_pool, block, sharing_active,
+              map_ext=None):
     T = ("text",)
     m["token_embedding.weight"] = (T + ("token_embedding",), _identity)
     m["positional_embedding"] = (T + ("positional_embedding",), _identity)
@@ -231,6 +313,9 @@ def _map_text(m, spec, ln, lin, conv_pool, block, sharing_active):
                                    "mlp.c_proj.w", "mlp.c_proj.b")
         block(f"transformer.resblocks.{i}", T + ("blocks", i),
               shared_absent=absent)
+        if spec.ext.any_active and map_ext is not None:
+            map_ext(f"transformer.resblocks.{i}",
+                    T + ("ext_blocks", i), "text", i)
 
 
 def _set_path(tree, path, value):
