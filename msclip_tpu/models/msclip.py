@@ -90,6 +90,25 @@ class MSClipSpec:
     t2b_strides: Tuple[int, ...] = (16, 8, 4, 2, 1)
     t2b_use_cls: bool = False
 
+    # bottom2top back-path ([off]; reference :1639-1742, :2182-2203)
+    parallel_b2t: bool = False
+    b2t_mode: str = "deconv"  # deconv | bilinear | crossattn
+    b2t_kernels: Tuple[int, ...] = (18, 10, 6, 4, 3)
+    b2t_paddings: Tuple[int, ...] = (1, 1, 1, 1, 1)
+    b2t_strides: Tuple[int, ...] = (16, 8, 4, 2, 1)
+    b2t_no_lastlayer: bool = False
+    b2t_layer_flags: Tuple[bool, ...] = (True, True, True, True, True)
+
+    # windowed t2b lateral fusion ([off]; reference :1187-1536, :2205-2243)
+    t2b_windowattn: bool = False
+    window_relative_pos: bool = True
+
+    # Perceiver latents ([off]; reference :2105-2124, :2389-2394)
+    perceiver_in_v: bool = False
+    perceiver_in_t: bool = False
+    perceiver_layers: Tuple[int, ...] = ()
+    perceiver_n_latents: int = 0
+
     # Modality sharing (CUSTOM.SHARE_MODULES / N_LAYERS / SHARE_BOTTOM_LAYER)
     share_modules: Tuple[str, ...] = ()
     share_n_layers: int = -1
@@ -133,6 +152,37 @@ class MSClipSpec:
         if self.share_bottom_layer:
             return i < self.share_n_layers
         return i >= self.share_n_layers
+
+    def b2t_active(self, li: int) -> bool:
+        if not self.parallel_b2t:
+            return False
+        if not self.b2t_layer_flags[li]:
+            return False
+        is_last = li == len(self.lateral_layers) - 1
+        return not (is_last and self.b2t_no_lastlayer)
+
+    def window_geometry(self, li: int) -> dict:
+        """Per-stage window-attention config (reference :2206-2220)."""
+        W = self.vision_width
+        kv_dims = [W // 16, W // 8, W // 4, W // 2, W]
+        head_dims = [48, 48, 64, 64, 64]
+        window_kvs = [16, 8, 4, 2, 3]
+        slide = [False] * 4 + [True]
+        return {
+            "input_kv_dim": kv_dims[li],
+            "output_qk_dim": kv_dims[li],
+            "output_v_dim": kv_dims[li],
+            "head_qk_dim": head_dims[li],
+            "head_v_dim": head_dims[li],
+            "num_heads": kv_dims[li] // head_dims[li],
+            "window_q": 1,
+            "window_kv": window_kvs[li],
+            "slide_window": slide[li],
+            "slide_kernel": 3 if slide[li] else 0,
+            "slide_pad": 1 if slide[li] else 0,
+            "slide_stride": 1 if slide[li] else 0,
+            "output_dim": W,
+        }
 
     def shared_param_keys(self) -> Tuple[str, ...]:
         keys = []
@@ -202,6 +252,20 @@ def spec_from_config(config) -> MSClipSpec:
         t2b_paddings=tuple(custom.get("PRALLEL_T2B_PADDINGS", [1] * 5)),
         t2b_strides=tuple(custom.get("PRALLEL_T2B_STRIDES", [16, 8, 4, 2, 1])),
         t2b_use_cls=custom.get("PRALLEL_T2B_USECLS", False),
+        parallel_b2t=custom.get("PARALLEL_B2T", False),
+        b2t_mode=(
+            "bilinear" if custom.get("PARALLEL_B2T_BILINEAR", False)
+            else "crossattn" if custom.get("PARALLEL_B2T_CROSSATTN", False)
+            else "deconv"
+        ),
+        b2t_no_lastlayer=custom.get("PARALLEL_B2T_NO_LASTLAYER", False),
+        b2t_layer_flags=tuple(custom.get("PARALLEL_B2T_LAYER", [True] * 5)),
+        t2b_windowattn=custom.get("PARALLEL_T2B_WINDOWATTN", False),
+        window_relative_pos=custom.get("T2B_WINDOWATTN_RELATIVE_POS", True),
+        perceiver_in_v=custom.get("PERCEIVER_IN_V", False),
+        perceiver_in_t=custom.get("PERCEIVER_IN_T", False),
+        perceiver_layers=tuple(custom.get("PERCEIVER_LAYER", [])),
+        perceiver_n_latents=custom.get("PERCEIVER_N_LATENT", 0),
         share_modules=tuple(custom.get("SHARE_MODULES", []) or []),
         share_n_layers=custom.get("N_LAYERS", -1),
         share_bottom_layer=custom.get("SHARE_BOTTOM_LAYER", False),
@@ -287,10 +351,45 @@ def init_params(key, spec: MSClipSpec):
         )
         akeys = jax.random.split(keys[6], len(spec.lateral_layers))
         out_dims = [W // 16, W // 8, W // 4, W // 2, W]
-        visual["lateral_adapters"] = [
-            S.init_lateral_adapter(akeys[i], out_dims[i], W,
-                                   spec.t2b_kernels[i])
-            for i in range(len(spec.lateral_layers))
+        adapters = []
+        for i in range(len(spec.lateral_layers)):
+            if spec.t2b_windowattn:
+                from .crossattn import (
+                    init_window_cross_attention,
+                    relative_position_index,
+                )
+
+                geo = spec.window_geometry(i)
+                a = init_window_cross_attention(
+                    akeys[i], W, geo["input_kv_dim"], geo["output_qk_dim"],
+                    geo["output_v_dim"], geo["window_q"], geo["window_kv"],
+                    geo["num_heads"], dwconv_kv=True, add_linear=True,
+                    output_dim=geo["output_dim"],
+                    relative_pos=spec.window_relative_pos,
+                )
+            else:
+                a = S.init_lateral_adapter(akeys[i], out_dims[i], W,
+                                           spec.t2b_kernels[i])
+                if spec.b2t_active(i):
+                    a.update(S.init_lateral_adapter_b2t(
+                        jax.random.fold_in(akeys[i], 9), out_dims[i], W,
+                        spec.b2t_kernels[i], mode=spec.b2t_mode,
+                    ))
+            adapters.append(a)
+        visual["lateral_adapters"] = adapters
+
+    if spec.perceiver_in_v:
+        from .crossattn import init_residual_cross_block
+
+        pkeys = jax.random.split(jax.random.fold_in(key, 66),
+                                 len(spec.perceiver_layers))
+        visual["perceiver_latent"] = jax.random.normal(
+            jax.random.fold_in(key, 67),
+            (spec.perceiver_n_latents, W), jnp.float32,
+        )
+        visual["perceiver_blocks"] = [
+            init_residual_cross_block(pkeys[i], W)
+            for i in range(len(spec.perceiver_layers))
         ]
 
     if spec.pool_type == "linear":
@@ -345,6 +444,19 @@ def _init_text(spec: MSClipSpec, keys):
         text["conv_pool"] = _init_conv_pool(
             jax.random.fold_in(keys[10], 1), TW, spec.context_length
         )
+    if spec.perceiver_in_t:
+        from .crossattn import init_residual_cross_block
+
+        pkeys = jax.random.split(jax.random.fold_in(keys[8], 66),
+                                 len(spec.perceiver_layers))
+        text["perceiver_latent"] = jax.random.normal(
+            jax.random.fold_in(keys[8], 67),
+            (spec.perceiver_n_latents, TW), jnp.float32,
+        )
+        text["perceiver_blocks"] = [
+            init_residual_cross_block(pkeys[i], TW)
+            for i in range(len(spec.perceiver_layers))
+        ]
     if spec.ext.any_active:
         ekeys = jax.random.split(jax.random.fold_in(keys[8], 56),
                                  spec.text_layers)
@@ -464,6 +576,18 @@ def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
     block_idx = 0
     start = 1 if spec.early_conv else 0
     for idx in range(start, spec.vision_layers):
+        if spec.perceiver_in_v and idx in spec.perceiver_layers:
+            from .crossattn import residual_cross_block
+
+            pi = spec.perceiver_layers.index(idx)
+            latent = jnp.broadcast_to(
+                v["perceiver_latent"].astype(spec.dtype),
+                (B, spec.perceiver_n_latents, W),
+            )
+            tokens = residual_cross_block(
+                v["perceiver_blocks"][pi], tokens, latent,
+                spec.vision_heads, eps=spec.ln_eps,
+            )
         if spec.parallel and idx in spec.lateral_layers:
             li = spec.lateral_layers.index(idx)
             stage_in = x if li == 0 else parallel_x
@@ -472,12 +596,54 @@ def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
                 spec.parallel_kernels[li], spec.parallel_strides[li],
                 spec.parallel_paddings[li], bn, f"visual/parallel_stages/{li}",
             )
-            parallel_x, tokens = S.apply_lateral_adapter(
-                v["lateral_adapters"][li], parallel_x, tokens, (g, g),
-                spec.t2b_kernels[li], spec.t2b_strides[li],
-                spec.t2b_paddings[li], bn, f"visual/lateral_adapters/{li}",
-                use_cls=spec.t2b_use_cls,
-            )
+            adapter_path = f"visual/lateral_adapters/{li}"
+            if spec.t2b_windowattn:
+                from .crossattn import (
+                    relative_position_index,
+                    window_cross_attention,
+                )
+
+                geo = spec.window_geometry(li)
+                ad = v["lateral_adapters"][li]
+                rel_idx = None
+                if spec.window_relative_pos:
+                    rel_idx = jnp.asarray(relative_position_index(
+                        geo["window_q"], geo["window_kv"]))
+                parallel_x, tokens = window_cross_attention(
+                    ad, parallel_x, tokens, (g, g),
+                    num_heads=geo["num_heads"],
+                    head_qk_dim=geo["head_qk_dim"],
+                    head_v_dim=geo["head_v_dim"],
+                    window_q=geo["window_q"], window_kv=geo["window_kv"],
+                    dwconv_kv=True,
+                    slide_window=geo["slide_window"],
+                    slide_kernel=geo["slide_kernel"],
+                    slide_pad=geo["slide_pad"],
+                    slide_stride=geo["slide_stride"],
+                    rel_pos_table=ad.get("rel_pos_table"),
+                    rel_pos_index=rel_idx,
+                    bn=bn, path=adapter_path, eps=spec.ln_eps,
+                )
+            else:
+                pre_fusion_cls = tokens[:, :1, :]
+                pre_fusion_grid = tokens[:, 1:, :].reshape(
+                    B, g, g, W
+                )
+                new_top, tokens = S.apply_lateral_adapter(
+                    v["lateral_adapters"][li], parallel_x, tokens, (g, g),
+                    spec.t2b_kernels[li], spec.t2b_strides[li],
+                    spec.t2b_paddings[li], bn, adapter_path,
+                    use_cls=spec.t2b_use_cls,
+                )
+                if spec.b2t_active(li):
+                    new_top = S.apply_lateral_adapter_b2t(
+                        v["lateral_adapters"][li], parallel_x,
+                        pre_fusion_grid, pre_fusion_cls, (g, g),
+                        spec.b2t_mode, spec.b2t_kernels[li],
+                        spec.b2t_strides[li], spec.b2t_paddings[li], bn,
+                        adapter_path, eps=spec.ln_eps,
+                    )
+                parallel_x = new_top
         if spec.ext.any_active:
             tokens = extended_block(
                 v["blocks"][block_idx], v["ext_blocks"][block_idx], tokens,
@@ -515,6 +681,18 @@ def encode_text(params, spec: MSClipSpec, tokens, *, normalize=True,
 
     block = _block_fn(spec)
     for i in range(spec.text_layers):
+        if spec.perceiver_in_t and i in spec.perceiver_layers:
+            from .crossattn import residual_cross_block
+
+            pi = spec.perceiver_layers.index(i)
+            latent = jnp.broadcast_to(
+                t["perceiver_latent"].astype(spec.dtype),
+                (x.shape[0], spec.perceiver_n_latents, x.shape[-1]),
+            )
+            x = residual_cross_block(
+                t["perceiver_blocks"][pi], x, latent, spec.text_heads,
+                eps=spec.ln_eps,
+            )
         if spec.ext.any_active:
             x = extended_block(
                 resolve_text_block(params, spec, i),

@@ -204,6 +204,99 @@ def init_lateral_adapter(key, top_dim, bottom_dim, t2b_kernel, std=0.02):
     }
 
 
+def init_lateral_adapter_b2t(key, top_dim, bottom_dim, b2t_kernel,
+                             mode="deconv", std=0.02):
+    """bottom2top back-path params (reference ``:1639-1742``):
+    mode in {'deconv', 'bilinear', 'crossattn'}."""
+    from .crossattn import init_cross_attention_diffdim
+
+    keys = jax.random.split(key, 4)
+    p = {
+        "top_dw_conv": init_conv(keys[0], 3, top_dim, top_dim,
+                                 groups=top_dim, std=std),
+        "top_dw_bn": init_batch_norm(top_dim),
+    }
+    if mode == "deconv":
+        p["b2t_dw_deconv"] = init_conv(keys[1], b2t_kernel, bottom_dim,
+                                       bottom_dim, groups=bottom_dim,
+                                       std=std)
+        p["b2t_dw_bn"] = init_batch_norm(bottom_dim)
+        p["b2t_pw_conv"] = init_conv(keys[2], 1, bottom_dim, top_dim,
+                                     std=std)
+        p["b2t_pw_bn"] = init_batch_norm(top_dim)
+    elif mode == "bilinear":
+        p["b2t_dw_conv"] = init_conv(keys[1], 3, bottom_dim, bottom_dim,
+                                     groups=bottom_dim, std=std)
+        p["b2t_dw_bn"] = init_batch_norm(bottom_dim)
+        p["b2t_pw_conv"] = init_conv(keys[2], 1, bottom_dim, top_dim,
+                                     std=std)
+        p["b2t_pw_bn"] = init_batch_norm(top_dim)
+    elif mode == "crossattn":
+        p["b2t_dw_conv"] = init_conv(keys[1], 3, bottom_dim, bottom_dim,
+                                     groups=bottom_dim, std=std)
+        p["b2t_dw_bn"] = init_batch_norm(bottom_dim)
+        p["crossattn"] = init_cross_attention_diffdim(
+            keys[2], top_dim, bottom_dim, bottom_dim, top_dim, top_dim,
+            head_dim=64,
+        )
+        p["b2t_ln"] = init_layer_norm(top_dim)
+    else:
+        raise ValueError(mode)
+    return p
+
+
+def apply_lateral_adapter_b2t(p, top, bottom_grid, cls_tok, grid_hw, mode,
+                              b2t_kernel, b2t_stride, b2t_padding,
+                              bn: BNState, path, eps=1e-12):
+    """Compute the new top feature map from the (pre-fusion) bottom grid
+    (reference ``:1780-1808``)."""
+    from .crossattn import cross_attention_diffdim
+    from .layers import conv_transpose2d
+
+    H, W = grid_hw
+    top_dim = top.shape[-1]
+    bottom_dim = bottom_grid.shape[-1]
+    B = top.shape[0]
+
+    top_out = conv2d(p["top_dw_conv"], top, stride=1, padding=1,
+                     groups=top_dim)
+    top_out = bn(p["top_dw_bn"], top_out, f"{path}/top_dw_bn")
+
+    if mode == "deconv":
+        b2t = conv_transpose2d(p["b2t_dw_deconv"], bottom_grid,
+                               stride=b2t_stride, padding=b2t_padding,
+                               groups=bottom_dim)
+        b2t = bn(p["b2t_dw_bn"], b2t, f"{path}/b2t_dw_bn")
+        b2t = conv2d(p["b2t_pw_conv"], b2t, stride=1, padding=0)
+        b2t = bn(p["b2t_pw_bn"], b2t, f"{path}/b2t_pw_bn")
+        return top_out + b2t
+    if mode == "bilinear":
+        b2t = conv2d(p["b2t_dw_conv"], bottom_grid, stride=1, padding=1,
+                     groups=bottom_dim)
+        b2t = bn(p["b2t_dw_bn"], b2t, f"{path}/b2t_dw_bn")
+        b2t = conv2d(p["b2t_pw_conv"], b2t, stride=1, padding=0)
+        b2t = bn(p["b2t_pw_bn"], b2t, f"{path}/b2t_pw_bn")
+        b2t = jax.image.resize(
+            b2t, (B, top.shape[1], top.shape[2], top_dim), "bilinear"
+        )
+        return top_out + b2t
+    if mode == "crossattn":
+        b2t = conv2d(p["b2t_dw_conv"], bottom_grid, stride=1, padding=1,
+                     groups=bottom_dim)
+        b2t = bn(p["b2t_dw_bn"], b2t, f"{path}/b2t_dw_bn")
+        Ht, Wt = top_out.shape[1], top_out.shape[2]
+        top_flat = top_out.reshape(B, Ht * Wt, top_dim)
+        b2t_flat = jnp.concatenate(
+            [cls_tok, b2t.reshape(B, H * W, bottom_dim)], axis=1
+        )
+        attn = cross_attention_diffdim(
+            p["crossattn"], top_flat, b2t_flat, b2t_flat, head_dim=64
+        )
+        top_flat = layer_norm(p["b2t_ln"], top_flat + attn, eps=eps)
+        return top_flat.reshape(B, Ht, Wt, top_dim)
+    raise ValueError(mode)
+
+
 def apply_lateral_adapter(p, top, bottom_tokens, grid_hw, t2b_kernel,
                           t2b_stride, t2b_padding, bn: BNState, path,
                           use_cls=True):

@@ -250,6 +250,75 @@ def build_key_map(spec: MSClipSpec) -> Dict[str, Tuple[tuple, callable]]:
                 V + ("ext_blocks", i - first_block), "visual", i,
             )
 
+    def map_window_adapter(at, ap):
+        m[f"{at}.q_proj_weight"] = (ap + ("q_w",), _linear_w)
+        m[f"{at}.q_in_proj_bias"] = (ap + ("q_b",), _identity)
+        conv(f"{at}.k_dwconv.conv.weight", ap + ("k_dwconv",))
+        bnorm(f"{at}.k_dwconv.bn", ap + ("k_dwbn",))
+        conv(f"{at}.v_dwconv.conv.weight", ap + ("v_dwconv",))
+        bnorm(f"{at}.v_dwconv.bn", ap + ("v_dwbn",))
+        lin(f"{at}.out_proj", ap + ("out",))
+        conv(f"{at}.bottom_dw_conv.conv.weight", ap + ("bottom_dw_conv",))
+        bnorm(f"{at}.bottom_dw_conv.bn", ap + ("bottom_dw_bn",))
+        ln(f"{at}.ln_adapt", ap + ("ln_adapt",))
+        if spec.window_relative_pos:
+            m[f"{at}.relative_position_bias_table"] = (
+                ap + ("rel_pos_table",), _identity)
+            # index buffer is derived, not a parameter
+            m[f"{at}.relative_position_index"] = (None, _identity)
+
+    def map_b2t(at, ap):
+        conv(f"{at}.top_dw_conv.conv.weight", ap + ("top_dw_conv",))
+        bnorm(f"{at}.top_dw_conv.bn", ap + ("top_dw_bn",))
+        if spec.b2t_mode == "deconv":
+            conv(f"{at}.bottom2top_dw_deconv.conv.weight",
+                 ap + ("b2t_dw_deconv",))
+            bnorm(f"{at}.bottom2top_dw_deconv.bn", ap + ("b2t_dw_bn",))
+            conv(f"{at}.bottom2top_pw_deconv.conv.weight",
+                 ap + ("b2t_pw_conv",))
+            bnorm(f"{at}.bottom2top_pw_deconv.bn", ap + ("b2t_pw_bn",))
+        elif spec.b2t_mode == "bilinear":
+            conv(f"{at}.bottom2top_dw_conv.conv.weight",
+                 ap + ("b2t_dw_conv",))
+            bnorm(f"{at}.bottom2top_dw_conv.bn", ap + ("b2t_dw_bn",))
+            conv(f"{at}.bottom2top_pw_conv.conv.weight",
+                 ap + ("b2t_pw_conv",))
+            bnorm(f"{at}.bottom2top_pw_conv.bn", ap + ("b2t_pw_bn",))
+        else:  # crossattn
+            conv(f"{at}.bottom2top_dw_conv.conv.weight",
+                 ap + ("b2t_dw_conv",))
+            bnorm(f"{at}.bottom2top_dw_conv.bn", ap + ("b2t_dw_bn",))
+            ca = ap + ("crossattn",)
+            for n in ("q", "k", "v"):
+                m[f"{at}.bottom2top_crossattn.{n}_proj_weight"] = (
+                    ca + (f"{n}_w",), _linear_w)
+                m[f"{at}.bottom2top_crossattn.{n}_in_proj_bias"] = (
+                    ca + (f"{n}_b",), _identity)
+            ln(f"{at}.bottom2top_ln", ap + ("b2t_ln",))
+
+    def map_perceiver(torch_trunk, path):
+        m[f"{torch_trunk}.perceiver_latent"] = (
+            path + ("perceiver_latent",), _identity)
+        for i in range(len(spec.perceiver_layers)):
+            bt = f"{torch_trunk}.perceiver_latent2ori_blocks.{i}"
+            bp = path + ("perceiver_blocks", i)
+            m[f"{bt}.attn.in_proj_weight"] = (bp + ("attn", "qkv_w"),
+                                              _linear_w)
+            m[f"{bt}.attn.in_proj_bias"] = (bp + ("attn", "qkv_b"),
+                                            _identity)
+            m[f"{bt}.attn.out_proj.weight"] = (bp + ("attn", "out_w"),
+                                               _linear_w)
+            m[f"{bt}.attn.out_proj.bias"] = (bp + ("attn", "out_b"),
+                                             _identity)
+            lin(f"{bt}.mlp.c_fc", bp + ("mlp", "c_fc"))
+            lin(f"{bt}.mlp.c_proj", bp + ("mlp", "c_proj"))
+            ln(f"{bt}.ln_1", bp + ("ln_1",))
+            ln(f"{bt}.ln_2", bp + ("ln_2",))
+            ln(f"{bt}.norm_context", bp + ("norm_context",))
+
+    if spec.perceiver_in_v:
+        map_perceiver("visual.transformer", V)
+
     if spec.parallel:
         for i in range(spec.parallel_n_layers):
             bt = f"visual.transformer.parallel_branch_v.{i}"
@@ -274,6 +343,9 @@ def build_key_map(spec: MSClipSpec) -> Dict[str, Tuple[tuple, callable]]:
         for i in range(len(spec.lateral_layers)):
             at = f"visual.transformer.parallel_lateral_adapter.{i}"
             ap = V + ("lateral_adapters", i)
+            if spec.t2b_windowattn:
+                map_window_adapter(at, ap)
+                continue
             conv(f"{at}.top2bottom_dw_conv.conv.weight",
                  ap + ("t2b_dw_conv",))
             bnorm(f"{at}.top2bottom_dw_conv.bn", ap + ("t2b_dw_bn",))
@@ -283,7 +355,11 @@ def build_key_map(spec: MSClipSpec) -> Dict[str, Tuple[tuple, callable]]:
                  ap + ("bottom_dw_conv",))
             bnorm(f"{at}.bottom_dw_conv.bn", ap + ("bottom_dw_bn",))
             ln(f"{at}.ln_adapt", ap + ("ln_adapt",))
+            if spec.b2t_active(i):
+                map_b2t(at, ap)
 
+    if spec.perceiver_in_t:
+        map_perceiver("transformer", ("text",))
     _map_text(m, spec, ln, lin, conv_pool, block, sharing_active=True,
               map_ext=map_block_extensions)
     return m
