@@ -33,8 +33,8 @@ def main():
         cfg, os.path.join(root, "experiments/model/b32-yfcc-msclips.yaml")
     )
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-    use_pallas = os.environ.get("BENCH_PALLAS")
-    if use_pallas:
+    # fused Pallas attention core is the default (BENCH_PALLAS=0 disables)
+    if os.environ.get("BENCH_PALLAS", "1") != "0":
         cfg.TPU.USE_PALLAS = True
     spec = spec_from_config(cfg)
     model = MSClipModel(spec)

@@ -1,3 +1,3 @@
-from .attention import fused_attention
+from .attention import fused_attention, fused_attention_qkv
 
-__all__ = ["fused_attention"]
+__all__ = ["fused_attention", "fused_attention_qkv"]

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from msclip_tpu.models import layers as L
-from msclip_tpu.ops import fused_attention
+from msclip_tpu.ops import fused_attention, fused_attention_qkv
 
 
 def _qkv(B, H, Lq, D, seed=0):
@@ -79,3 +79,40 @@ def test_layers_attention_pallas_path():
                       pallas_interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_attention_qkv_native_layout():
+    """Native-layout kernel vs the XLA reference on the qkv tensor."""
+    rng = np.random.default_rng(5)
+    B, Lq, H, D = 3, 50, 4, 16
+    E = H * D
+    qkv = jnp.asarray(rng.standard_normal((B, Lq, 3 * E)).astype(np.float32))
+    got = fused_attention_qkv(qkv, H, interpret=True)
+
+    q, k, v = jnp.split(qkv, 3, -1)
+    qh = q.reshape(B, Lq, H, D).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, Lq, H, D).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, Lq, H, D).transpose(0, 2, 1, 3)
+    want = _reference(qh, kh, vh)
+    want = want.transpose(0, 2, 1, 3).reshape(B, Lq, E)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_fused_attention_qkv_mask_and_padding():
+    """Causal mask + batch not divisible by the tile size."""
+    rng = np.random.default_rng(6)
+    B, Lq, H, D = 5, 77, 2, 32  # B=5: forces batch padding
+    E = H * D
+    qkv = jnp.asarray(rng.standard_normal((B, Lq, 3 * E)).astype(np.float32))
+    mask = L.build_causal_mask(Lq)
+    got = fused_attention_qkv(qkv, H, mask, interpret=True, batch_tile=2)
+
+    q, k, v = jnp.split(qkv, 3, -1)
+    qh = q.reshape(B, Lq, H, D).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, Lq, H, D).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, Lq, H, D).transpose(0, 2, 1, 3)
+    want = _reference(qh, kh, vh, mask)
+    want = want.transpose(0, 2, 1, 3).reshape(B, Lq, E)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
