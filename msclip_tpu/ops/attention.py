@@ -60,15 +60,130 @@ def _attn_kernel(qkv_ref, o_ref, *, n_head, scale, has_mask, mask_ref=None):
         o_ref[:, :, h * D:(h + 1) * D] = out.astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_head", "interpret", "batch_tile")
-)
+def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, n_head, scale, has_mask,
+                     mask_ref=None):
+    """Backward: recompute the softmax weights per head in VMEM and produce
+    dqkv (standard attention VJP, no flash tiling needed at CLIP seq
+    lengths)."""
+    qkv = qkv_ref[...]
+    E = qkv.shape[-1] // 3
+    D = E // n_head
+    for h in range(n_head):
+        q = qkv[:, :, h * D:(h + 1) * D].astype(jnp.float32)
+        k = qkv[:, :, E + h * D:E + (h + 1) * D].astype(jnp.float32)
+        v = qkv[:, :, 2 * E + h * D:2 * E + (h + 1) * D].astype(jnp.float32)
+        g = g_ref[:, :, h * D:(h + 1) * D].astype(jnp.float32)
+
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if has_mask:
+            scores = scores + mask_ref[...]
+        w = jax.nn.softmax(scores, axis=-1)  # [TB, L, M] fp32
+
+        # dV = W^T g
+        dv = jax.lax.dot_general(
+            w, g, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # dW = g V^T ; dS = (dW - rowsum(dW * W)) * W
+        dw = jax.lax.dot_general(
+            g, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (dw - jnp.sum(dw * w, axis=-1, keepdims=True)) * w
+        # dQ = dS K * scale ; dK = dS^T Q * scale
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+        dt = dqkv_ref.dtype
+        dqkv_ref[:, :, h * D:(h + 1) * D] = dq.astype(dt)
+        dqkv_ref[:, :, E + h * D:E + (h + 1) * D] = dk.astype(dt)
+        dqkv_ref[:, :, 2 * E + h * D:2 * E + (h + 1) * D] = dv.astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4))
+def _fused_attention_core(qkv, n_head, mask, interpret, batch_tile):
+    return _fused_attention_fwd_impl(qkv, n_head, mask, interpret,
+                                     batch_tile)
+
+
+def _fused_attention_fwd(qkv, n_head, mask, interpret, batch_tile):
+    out = _fused_attention_fwd_impl(qkv, n_head, mask, interpret, batch_tile)
+    return out, (qkv, mask)
+
+
+def _fused_attention_bwd(n_head, interpret, batch_tile, residuals, g):
+    qkv, mask = residuals
+    B, L, three_e = qkv.shape
+    E = three_e // 3
+    scale = (E // n_head) ** -0.5
+    tb = batch_tile or _pick_batch_tile(B, L, three_e, qkv.dtype.itemsize)
+    pad_b = (-B) % tb
+    if pad_b:
+        qkv = jnp.pad(qkv, ((0, pad_b), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, pad_b), (0, 0), (0, 0)))
+    Bp = B + pad_b
+
+    in_specs = [
+        pl.BlockSpec((tb, L, three_e), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, L, E), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [qkv, g]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((L, L), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(mask.astype(jnp.float32))
+
+        def body(qkv_ref, g_ref, mask_ref, dqkv_ref):
+            _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, n_head=n_head,
+                             scale=scale, has_mask=True, mask_ref=mask_ref)
+    else:
+
+        def body(qkv_ref, g_ref, dqkv_ref):
+            _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, n_head=n_head,
+                             scale=scale, has_mask=False)
+
+    dqkv = pl.pallas_call(
+        body,
+        grid=(Bp // tb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tb, L, three_e), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, L, three_e), qkv.dtype),
+        interpret=interpret,
+    )(*inputs)
+    if pad_b:
+        dqkv = dqkv[:B]
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (dqkv, dmask)
+
+
+_fused_attention_core.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
 def fused_attention_qkv(qkv, n_head, mask=None, *, interpret=False,
                         batch_tile=None):
     """qkv ``[B, L, 3E]`` (post in-projection) -> context ``[B, L, E]``.
 
     ``mask``: additive fp32 ``[L, L]`` (e.g. causal) or None.
+    Differentiable: a custom VJP recomputes the softmax in VMEM and emits
+    dqkv in one fused backward kernel.
     """
+    return _fused_attention_core(qkv, n_head, mask, interpret, batch_tile)
+
+
+def _fused_attention_fwd_impl(qkv, n_head, mask, interpret=False,
+                              batch_tile=None):
     B, L, three_e = qkv.shape
     E = three_e // 3
     D = E // n_head

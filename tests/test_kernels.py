@@ -116,3 +116,58 @@ def test_fused_attention_qkv_mask_and_padding():
     want = want.transpose(0, 2, 1, 3).reshape(B, Lq, E)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_fused_attention_qkv_grad_matches_xla():
+    """Custom VJP: grads through the fused kernel equal grads through the
+    XLA attention core."""
+    rng = np.random.default_rng(7)
+    B, Lq, H, D = 2, 50, 2, 16
+    E = H * D
+    qkv = jnp.asarray(
+        rng.standard_normal((B, Lq, 3 * E)).astype(np.float32) * 0.3
+    )
+
+    def loss_pallas(qkv):
+        out = fused_attention_qkv(qkv, H, interpret=True)
+        return (out * out).sum()
+
+    def loss_xla(qkv):
+        q, k, v = jnp.split(qkv, 3, -1)
+        qh = q.reshape(B, Lq, H, D).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, Lq, H, D).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, Lq, H, D).transpose(0, 2, 1, 3)
+        out = _reference(qh, kh, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
+        return (out * out).sum()
+
+    g1 = jax.grad(loss_pallas)(qkv)
+    g2 = jax.grad(loss_xla)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_fused_attention_qkv_grad_with_mask():
+    rng = np.random.default_rng(8)
+    B, Lq, H, D = 2, 21, 2, 16  # odd L: exercises unaligned shapes
+    E = H * D
+    qkv = jnp.asarray(
+        rng.standard_normal((B, Lq, 3 * E)).astype(np.float32) * 0.3
+    )
+    mask = L.build_causal_mask(Lq)
+
+    def loss_pallas(qkv):
+        return fused_attention_qkv(qkv, H, mask, interpret=True).sum()
+
+    def loss_xla(qkv):
+        q, k, v = jnp.split(qkv, 3, -1)
+        qh = q.reshape(B, Lq, H, D).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, Lq, H, D).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, Lq, H, D).transpose(0, 2, 1, 3)
+        out = _reference(qh, kh, vh, mask)
+        return out.transpose(0, 2, 1, 3).reshape(B, Lq, E).sum()
+
+    g1 = jax.grad(loss_pallas)(qkv)
+    g2 = jax.grad(loss_xla)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=2e-4, rtol=1e-4)
