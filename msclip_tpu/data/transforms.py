@@ -80,6 +80,60 @@ def device_preprocess(images_u8, size: int = 224,
     return (x - mean_a) / std_a
 
 
+def mixup_cutmix(key, images, labels, n_classes, mixup_alpha=0.0,
+                 cutmix_alpha=0.0, switch_prob=0.5,
+                 label_smoothing=0.0):
+    """Batch-mode mixup / cutmix with soft labels (``AUG.MIXUP`` /
+    ``AUG.MIXCUT`` / ``AUG.MIXUP_SWITCH_PROB``; used by the
+    classification-finetune path, not the contrastive loss).
+
+    Returns (mixed images, soft labels ``[B, n_classes]``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B = images.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    perm = jnp.roll(jnp.arange(B), 1)
+
+    off = label_smoothing / n_classes
+    on = 1.0 - label_smoothing + off
+    y1 = jax.nn.one_hot(labels, n_classes) * (on - off) + off
+    y2 = y1[perm]
+
+    use_cutmix = (
+        cutmix_alpha > 0.0
+        and (mixup_alpha == 0.0
+             or bool(jax.random.bernoulli(k1, switch_prob)))
+    )
+    alpha = cutmix_alpha if use_cutmix else mixup_alpha
+    if alpha <= 0.0:
+        return images, y1
+    lam = jax.random.beta(k2, alpha, alpha)
+
+    if use_cutmix:
+        H, W = images.shape[1:3]
+        ratio = jnp.sqrt(1.0 - lam)
+        cut_h = (H * ratio).astype(jnp.int32)
+        cut_w = (W * ratio).astype(jnp.int32)
+        cy = jax.random.randint(k3, (), 0, H)
+        cx = jax.random.randint(jax.random.fold_in(k3, 1), (), 0, W)
+        y0 = jnp.clip(cy - cut_h // 2, 0, H)
+        y1_ = jnp.clip(cy + cut_h // 2, 0, H)
+        x0 = jnp.clip(cx - cut_w // 2, 0, W)
+        x1_ = jnp.clip(cx + cut_w // 2, 0, W)
+        yy = jnp.arange(H)[None, :, None, None]
+        xx = jnp.arange(W)[None, None, :, None]
+        in_box = (yy >= y0) & (yy < y1_) & (xx >= x0) & (xx < x1_)
+        mixed = jnp.where(in_box, images[perm], images)
+        lam_eff = 1.0 - ((y1_ - y0) * (x1_ - x0)) / (H * W)
+    else:
+        mixed = lam * images + (1.0 - lam) * images[perm]
+        lam_eff = lam
+    soft = lam_eff * y1 + (1.0 - lam_eff) * y2
+    return mixed, soft
+
+
 def train_augment(key, images_u8, size: int = 224,
                   mean=IMAGENET_MEAN, std=IMAGENET_STD,
                   scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):

@@ -175,10 +175,28 @@ def attention(p, x, n_head, mask=None, use_pallas=False,
     return linear({"w": p["out_w"], "b": p["out_b"]}, out)
 
 
-def transformer_block(p, x, n_head, mask=None, eps=1e-12, use_pallas=False):
-    """Pre-LN residual attention block (reference ``:1027-1028``)."""
-    x = x + attention(p["attn"], layer_norm(p["ln_1"], x, eps), n_head, mask,
-                      use_pallas=use_pallas)
+def drop_path(rng, x, rate):
+    """Stochastic depth on a residual branch (timm DropPath semantics:
+    per-sample keep mask, output scaled by 1/keep_prob)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * mask.astype(x.dtype) / keep
+
+
+def transformer_block(p, x, n_head, mask=None, eps=1e-12, use_pallas=False,
+                      drop_path_rate=0.0, rng=None):
+    """Pre-LN residual attention block (reference ``:1027-1028``), with
+    optional stochastic depth (``DropPath``; active only in training when
+    an rng is supplied)."""
+    attn_out = attention(p["attn"], layer_norm(p["ln_1"], x, eps), n_head,
+                         mask, use_pallas=use_pallas)
+    if drop_path_rate > 0.0 and rng is not None:
+        r1, r2 = jax.random.split(rng)
+        x = x + drop_path(r1, attn_out, drop_path_rate)
+        x = x + drop_path(r2, mlp(p["mlp"], layer_norm(p["ln_2"], x, eps)),
+                          drop_path_rate)
+        return x
+    x = x + attn_out
     x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x, eps))
     return x
 

@@ -117,6 +117,7 @@ class MSClipSpec:
     compute_dtype: str = "float32"
     remat: bool = False
     use_pallas: bool = False
+    vision_drop_path: float = 0.0
 
     # Experimental plug-in families ([off] in released configs; SURVEY §2.3)
     ext: ExtSpec = ExtSpec()
@@ -272,6 +273,7 @@ def spec_from_config(config) -> MSClipSpec:
         compute_dtype=config.TPU.COMPUTE_DTYPE,
         remat=config.TPU.REMAT,
         use_pallas=config.TPU.USE_PALLAS,
+        vision_drop_path=vision.get("DROP_PATH", 0.0),
         ext=ext_spec_from_custom(custom),
     )
 
@@ -521,9 +523,10 @@ def resolve_text_block(params, spec: MSClipSpec, i: int):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _block_fn(spec: MSClipSpec):
-    fn = lambda p, x, heads, mask: L.transformer_block(
-        p, x, heads, mask, eps=spec.ln_eps, use_pallas=spec.use_pallas
+def _block_fn(spec: MSClipSpec, drop_path_rate=0.0):
+    fn = lambda p, x, heads, mask, rng=None: L.transformer_block(
+        p, x, heads, mask, eps=spec.ln_eps, use_pallas=spec.use_pallas,
+        drop_path_rate=drop_path_rate, rng=rng,
     )
     if spec.remat:
         fn = jax.checkpoint(fn, static_argnums=(2,))
@@ -531,7 +534,7 @@ def _block_fn(spec: MSClipSpec):
 
 
 def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
-                 bn: Optional[BNState] = None, action=None):
+                 bn: Optional[BNState] = None, action=None, rng=None):
     """images: ``[B, H, W, 3]`` (preprocessed) -> ``[B, embed_dim]``.
 
     Implements the visual call stack of SURVEY.md §3.2: stem -> tokens ->
@@ -571,7 +574,7 @@ def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
     tokens = tokens + v["positional_embedding"].astype(spec.dtype)
     tokens = L.layer_norm(v["ln_pre"], tokens, eps=spec.ln_eps)
 
-    block = _block_fn(spec)
+    block = _block_fn(spec, spec.vision_drop_path if rng is not None else 0.0)
     parallel_x = None
     block_idx = 0
     start = 1 if spec.early_conv else 0
@@ -653,8 +656,9 @@ def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
                 action=None if action is None else action[idx],
             )
         else:
+            blk_rng = None if rng is None else jax.random.fold_in(rng, idx)
             tokens = block(v["blocks"][block_idx], tokens,
-                           spec.vision_heads, None)
+                           spec.vision_heads, None, rng=blk_rng)
         block_idx += 1
 
     pooled = _pool(tokens, spec, conv_pool=v.get("conv_pool"))

@@ -22,15 +22,20 @@ import jax
 import jax.numpy as jnp
 
 
-def _ce(logits, labels):
-    """Cross-entropy with fp32 log-softmax."""
+def _ce(logits, labels, label_smoothing=0.0):
+    """Cross-entropy with fp32 log-softmax and optional label smoothing
+    (``LOSS.LABEL_SMOOTHING``)."""
     logits = logits.astype(jnp.float32)
     logz = jax.nn.logsumexp(logits, axis=-1)
     gold = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
-    return (logz - gold).mean()
+    loss = logz - gold
+    if label_smoothing > 0.0:
+        smooth = logz - logits.mean(axis=-1)
+        loss = (1.0 - label_smoothing) * loss + label_smoothing * smooth
+    return loss.mean()
 
 
-def infonce_loss(feats_img, feats_txt, logit_scale):
+def infonce_loss(feats_img, feats_txt, logit_scale, label_smoothing=0.0):
     """Symmetric InfoNCE over the (global) batch. Inputs L2-normalized
     ``[B, E]``; returns scalar fp32 loss."""
     T = jnp.exp(logit_scale).astype(jnp.float32)
@@ -39,7 +44,8 @@ def infonce_loss(feats_img, feats_txt, logit_scale):
         precision=jax.lax.Precision.HIGHEST,
     )
     labels = jnp.arange(logits.shape[0])
-    return 0.5 * (_ce(logits, labels) + _ce(logits.T, labels))
+    return 0.5 * (_ce(logits, labels, label_smoothing)
+                  + _ce(logits.T, labels, label_smoothing))
 
 
 def sharded_infonce_loss(feats_img, feats_txt, logit_scale, axis_name="data"):

@@ -81,6 +81,10 @@ def param_labels(params, spec):
         keys = _path_keys(path)
         if _is_bn_stat(keys):
             return "state"
+        if keys == ["gumbel_logit"]:
+            # NAS architecture parameter: separate optimizer group
+            # (GUMBEL_LR / the reference's arch_optimizer)
+            return "arch"
         if _is_shared_param(keys, spec):
             return "shared"
         return "regular"
@@ -135,6 +139,30 @@ def build_schedule(config, steps_per_epoch: int):
     raise ValueError(f"Unknown LR scheduler: {method}")
 
 
+def larc(trust_coefficient: float = 0.02, eps: float = 1e-8,
+         clip: bool = True):
+    """LARC: layerwise adaptive rate scaling/clipping applied on top of the
+    base optimizer's updates (the ``TRAIN.LARC`` hook,
+    ``lib/config/default.py:149``)."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        def scale(u, p):
+            p_norm = jnp.linalg.norm(p.astype(jnp.float32))
+            u_norm = jnp.linalg.norm(u.astype(jnp.float32))
+            ratio = trust_coefficient * p_norm / (u_norm + eps)
+            ratio = jnp.where(p_norm > 0, ratio, 1.0)
+            if clip:
+                ratio = jnp.minimum(ratio, 1.0)
+            return u * ratio.astype(u.dtype)
+
+        return jax.tree.map(scale, updates, params), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _adamw_group(schedule, wd, params_mask):
     return optax.adamw(
         learning_rate=schedule,
@@ -164,14 +192,18 @@ def build_optimizer(config, params, spec, steps_per_epoch: int):
     def mask_fn(p):
         return wd_mask(p, without_wd)
 
+    gumbel_lr = config.CUSTOM.get("GUMBEL_LR", 0.0) or config.TRAIN.LR
     tx = optax.multi_transform(
         {
             "regular": _adamw_group(base_sched, config.TRAIN.WD, mask_fn),
             "shared": _adamw_group(share_sched, wd_share, mask_fn),
+            "arch": optax.adamw(gumbel_lr, weight_decay=0.0),
             "state": optax.set_to_zero(),
         },
         labels,
     )
+    if config.TRAIN.get("LARC", False):
+        tx = optax.chain(tx, larc())
     clip = config.TRAIN.CLIP_GRAD_NORM
     if clip and clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)

@@ -1,0 +1,144 @@
+"""Training-feature tests: DropPath, LARC, label smoothing, EMA/SWA,
+mixup/cutmix, gumbel arch group."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msclip_tpu.models import layers as L
+
+
+def test_drop_path_eval_identity():
+    x = jnp.ones((4, 3, 8))
+    blk = L.init_block(jax.random.PRNGKey(0), 8)
+    a = L.transformer_block(blk, x, 1, drop_path_rate=0.5, rng=None)
+    b = L.transformer_block(blk, x, 1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_drop_path_statistics():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((4000, 1, 1))
+    y = L.drop_path(rng, x, rate=0.3)
+    vals = np.asarray(y).ravel()
+    # kept rows are scaled by 1/0.7, dropped are 0
+    uniq = {float(u) for u in np.round(np.unique(vals), 4)}
+    assert uniq <= {0.0, round(1 / 0.7, 4)}
+    assert abs(vals.mean() - 1.0) < 0.05
+
+
+def test_larc_clips_ratio():
+    from msclip_tpu.train.optim import larc
+
+    tx = larc(trust_coefficient=0.02)
+    params = {"w": jnp.ones((4,)) * 10.0}
+    # tiny update -> ratio clipped at 1 (no inflation)
+    updates = {"w": jnp.ones((4,)) * 1e-6}
+    out, _ = tx.update(updates, tx.init(params), params)
+    np.testing.assert_allclose(np.asarray(out["w"]),
+                               np.asarray(updates["w"]))
+    # huge update -> scaled down to trust ratio
+    updates = {"w": jnp.ones((4,)) * 100.0}
+    out, _ = tx.update(updates, tx.init(params), params)
+    assert np.abs(np.asarray(out["w"])).max() < 100.0
+
+
+def test_label_smoothing_loss():
+    from msclip_tpu.parallel import infonce_loss
+
+    rng = np.random.default_rng(0)
+    f1 = rng.standard_normal((8, 16)).astype(np.float32)
+    f1 /= np.linalg.norm(f1, axis=-1, keepdims=True)
+    f2 = rng.standard_normal((8, 16)).astype(np.float32)
+    f2 /= np.linalg.norm(f2, axis=-1, keepdims=True)
+    base = float(infonce_loss(jnp.array(f1), jnp.array(f2), jnp.array(1.0)))
+    smooth = float(
+        infonce_loss(jnp.array(f1), jnp.array(f2), jnp.array(1.0),
+                     label_smoothing=0.1)
+    )
+    assert smooth != base
+    assert np.isfinite(smooth)
+
+
+def test_ema_swa_updates():
+    from msclip_tpu.train.averaging import ema_update, swa_update
+
+    p = {"w": jnp.ones(3)}
+    e = {"w": jnp.zeros(3)}
+    e = ema_update(e, p, 0.9)
+    np.testing.assert_allclose(np.asarray(e["w"]), 0.1)
+
+    swa = {"w": jnp.zeros(3)}
+    n = jnp.asarray(0)
+    swa, n = swa_update(swa, {"w": jnp.ones(3) * 2}, n)
+    swa, n = swa_update(swa, {"w": jnp.ones(3) * 4}, n)
+    np.testing.assert_allclose(np.asarray(swa["w"]), 3.0)
+    assert int(n) == 2
+
+
+def test_mixup_soft_labels():
+    from msclip_tpu.data.transforms import mixup_cutmix
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((4, 8, 8, 3)).astype(np.float32))
+    labels = jnp.asarray([0, 1, 2, 3])
+    mixed, soft = mixup_cutmix(jax.random.PRNGKey(0), images, labels, 5,
+                               mixup_alpha=0.8)
+    assert mixed.shape == images.shape
+    assert soft.shape == (4, 5)
+    np.testing.assert_allclose(np.asarray(soft.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_cutmix_region():
+    from msclip_tpu.data.transforms import mixup_cutmix
+
+    images = jnp.stack([jnp.zeros((16, 16, 3)), jnp.ones((16, 16, 3))])
+    labels = jnp.asarray([0, 1])
+    mixed, soft = mixup_cutmix(jax.random.PRNGKey(1), images, labels, 2,
+                               cutmix_alpha=1.0)
+    vals = np.unique(np.asarray(mixed))
+    assert set(vals) <= {0.0, 1.0}  # pure region swap, no blending
+    np.testing.assert_allclose(np.asarray(soft.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_gumbel_arch_label():
+    from msclip_tpu.models import MSClipSpec, init_params
+    from msclip_tpu.models.extensions import ExtSpec
+    from msclip_tpu.train.optim import param_labels
+
+    spec = MSClipSpec(
+        embed_dim=16, image_resolution=32, vision_width=64, vision_layers=2,
+        vision_patch_size=16, vision_heads=1, text_width=64, text_heads=1,
+        text_layers=2, vocab_size=64, context_length=8,
+        ext=ExtSpec(gumbel_select=True, gumbel_addtwo=True),
+    )
+    params = init_params(jax.random.PRNGKey(0), spec)
+    assert "gumbel_logit" in params
+    labels = param_labels(params, spec)
+    assert labels["gumbel_logit"] == "arch"
+
+
+def test_drop_path_active_in_training_forward():
+    """encode_image with rng + drop_path produces stochastic output."""
+    import dataclasses
+
+    from msclip_tpu.models import MSClipSpec, encode_image, init_params
+
+    spec = MSClipSpec(
+        embed_dim=16, image_resolution=32, vision_width=64, vision_layers=2,
+        vision_patch_size=16, vision_heads=1, text_width=64, text_heads=1,
+        text_layers=2, vocab_size=64, vision_drop_path=0.5,
+    )
+    params = init_params(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, 32, 32, 3)),
+        jnp.float32,
+    )
+    a = encode_image(params, spec, x, rng=jax.random.PRNGKey(1))
+    b = encode_image(params, spec, x, rng=jax.random.PRNGKey(2))
+    c = encode_image(params, spec, x)  # eval: deterministic
+    d = encode_image(params, spec, x)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
