@@ -1,5 +1,6 @@
 from .msclip import (
     MSClipModel,
+    cast_params,
     MSClipSpec,
     build_model,
     encode_image,

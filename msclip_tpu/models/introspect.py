@@ -59,10 +59,14 @@ def encode_image_with_taps(params, spec: MSClipSpec, images,
     W, g = spec.vision_width, spec.grid
 
     if spec.early_conv:
-        fmap = S.apply_earlyconv_res(
-            v["stem"], x, spec.early_conv_strides, bn,
-            first_conv_k=spec.early_conv_first_k, path="visual/stem",
-        )
+        if spec.early_conv_res:
+            fmap = S.apply_earlyconv_res(
+                v["stem"], x, spec.early_conv_strides, bn,
+                first_conv_k=spec.early_conv_first_k, path="visual/stem",
+            )
+        else:
+            fmap = S.apply_plain_conv_stem(v["stem"], x, bn,
+                                           path="visual/stem")
     else:
         fmap = L.conv2d(v["conv1"], x, stride=spec.vision_patch_size,
                         padding=0)
@@ -77,8 +81,8 @@ def encode_image_with_taps(params, spec: MSClipSpec, images,
     layer_feats, attn_maps = [], []
     parallel_x = None
     block_idx = 0
-    start = 1 if spec.early_conv else 0
-    for idx in range(start, spec.vision_layers):
+    start = 1 if spec.stem_in_trunk else 0
+    for idx in range(start, spec.effective_vision_layers):
         if spec.parallel and idx in spec.lateral_layers:
             li = spec.lateral_layers.index(idx)
             stage_in = x if li == 0 else parallel_x

@@ -74,8 +74,12 @@ class MSClipSpec:
 
     # EarlyconvRes stem (CUSTOM.EARLY_CONV*)
     early_conv: bool = False
+    early_conv_res: bool = True      # False: plain 6-conv stem (:2282-2342)
+    early_conv_new_implement: bool = True  # False: stem lives outside the
+                                     # trunk (legacy path, :2558-2619)
     early_conv_first_k: int = 3
     early_conv_strides: Tuple[int, ...] = (2, 2, 2, 2)
+    visual_layer_minus1: bool = False  # CUSTOM.VISUAL_LAYER_MINUS1 (:2509)
 
     # Parallel branch + lateral adapters (CUSTOM.PARALLEL*)
     parallel: bool = False
@@ -89,6 +93,10 @@ class MSClipSpec:
     t2b_paddings: Tuple[int, ...] = (1, 1, 1, 1, 1)
     t2b_strides: Tuple[int, ...] = (16, 8, 4, 2, 1)
     t2b_use_cls: bool = False
+    t2b_pool_sizes: Tuple[int, ...] = (0, 0, 0, 0, 0)
+    t2b_bn_relu: bool = False
+    t2b_bn_ln_relu: bool = False
+    t2b_noln_add: bool = False
 
     # bottom2top back-path ([off]; reference :1639-1742, :2182-2203)
     parallel_b2t: bool = False
@@ -130,7 +138,10 @@ class MSClipSpec:
     @property
     def grid(self) -> int:
         if self.early_conv:
-            stride = 2 * math.prod(self.early_conv_strides)
+            if self.early_conv_res:
+                stride = 2 * math.prod(self.early_conv_strides)
+            else:
+                stride = 32  # plain 6-conv stem: five stride-2 convs
         else:
             stride = self.vision_patch_size
         return self.image_resolution // stride
@@ -140,14 +151,36 @@ class MSClipSpec:
         return self.grid * self.grid + 1
 
     @property
+    def effective_vision_layers(self) -> int:
+        """resblock count after VISUAL_LAYER_MINUS1 (:2509-2511)."""
+        return self.vision_layers - (1 if self.visual_layer_minus1 else 0)
+
+    @property
+    def stem_in_trunk(self) -> bool:
+        """EARLY_CONV_NEW_IMPLEMENT: resblocks[0] is the stem."""
+        return self.early_conv and self.early_conv_new_implement
+
+    @property
     def n_trunk_blocks(self) -> int:
         """Transformer blocks in the visual tower (resblock 0 is the stem
-        when early_conv; reference ``:2042-2051``)."""
-        return self.vision_layers - (1 if self.early_conv else 0)
+        when early_conv + new_implement; reference ``:2042-2051``)."""
+        return self.effective_vision_layers - (1 if self.stem_in_trunk
+                                               else 0)
 
-    def text_layer_is_shared(self, i: int) -> bool:
+    def text_layer_is_shared(self, j: int) -> bool:
+        """Does text block ``j`` consume the visual trunk's tensors?
+
+        The reference maps text[i + minus1] <- visual resblock i for
+        eligible i (``:2808-2830``); eligibility is i >= N_LAYERS (or
+        i < N_LAYERS with SHARE_BOTTOM_LAYER; -1 = all)."""
         if not self.share_modules:
             return False
+        offset = 1 if self.visual_layer_minus1 else 0
+        i = j - offset
+        if i < 0 or i >= self.effective_vision_layers:
+            return False
+        if self.stem_in_trunk and i == 0:
+            return False  # resblock 0 is the conv stem
         if self.share_n_layers == -1:
             return True
         if self.share_bottom_layer:
@@ -201,10 +234,6 @@ def spec_from_config(config) -> MSClipSpec:
     vision = spec_cfg.VISION
     text = spec_cfg.TEXT
 
-    if custom.get("VISUAL_LAYER_MINUS1", False):
-        raise NotImplementedError("VISUAL_LAYER_MINUS1 is [off] in released "
-                                  "configs and not implemented")
-
     width = vision.get("WIDTH", 768)
     n_parallel = custom.get("PARALLEL_N_LAYERS", 5)
     vision_layers_cfg = vision.get("LAYERS", 12)
@@ -232,6 +261,10 @@ def spec_from_config(config) -> MSClipSpec:
         skip_cls=spec_cfg.get("SKIP_CLS", False),
         gather_tensors=spec_cfg.get("GATHER_TENSORS", False),
         early_conv=custom.get("EARLY_CONV", False),
+        early_conv_res=custom.get("EARLY_CONV_RES", False),
+        early_conv_new_implement=custom.get("EARLY_CONV_NEW_IMPLEMENT",
+                                            False),
+        visual_layer_minus1=custom.get("VISUAL_LAYER_MINUS1", False),
         early_conv_first_k=custom.get("EARLY_CONV_RES_FIRSTCONV_KERNEL", 3),
         early_conv_strides=tuple(
             custom.get("EARLY_CONV_RES_STRIDES", [2, 2, 2, 2])
@@ -253,6 +286,11 @@ def spec_from_config(config) -> MSClipSpec:
         t2b_paddings=tuple(custom.get("PRALLEL_T2B_PADDINGS", [1] * 5)),
         t2b_strides=tuple(custom.get("PRALLEL_T2B_STRIDES", [16, 8, 4, 2, 1])),
         t2b_use_cls=custom.get("PRALLEL_T2B_USECLS", False),
+        t2b_pool_sizes=tuple(custom.get("PARALLEL_T2B_POOL_SIZE",
+                                        [0, 0, 0, 0, 0]) or [0] * 5),
+        t2b_bn_relu=custom.get("PRALLEL_T2B_ADD_BN_RELU", False),
+        t2b_bn_ln_relu=custom.get("PRALLEL_T2B_ADD_BN_LN_RELU", False),
+        t2b_noln_add=custom.get("PRALLEL_T2B_NOLN_ADD", False),
         parallel_b2t=custom.get("PARALLEL_B2T", False),
         b2t_mode=(
             "bilinear" if custom.get("PARALLEL_B2T_BILINEAR", False)
@@ -322,9 +360,13 @@ def init_params(key, spec: MSClipSpec):
         "blocks": [],
     }
     if spec.early_conv:
-        visual["stem"] = S.init_earlyconv_res(
-            keys[3], W, spec.early_conv_first_k, len(spec.early_conv_strides)
-        )
+        if spec.early_conv_res:
+            visual["stem"] = S.init_earlyconv_res(
+                keys[3], W, spec.early_conv_first_k,
+                len(spec.early_conv_strides),
+            )
+        else:
+            visual["stem"] = S.init_plain_conv_stem(keys[3], W)
     else:
         visual["conv1"] = L.init_conv(
             keys[3], spec.vision_patch_size, 3, W
@@ -335,7 +377,7 @@ def init_params(key, spec: MSClipSpec):
         visual["blocks"].append(_init_block_xavier_qkv(bkeys[i], W))
 
     if spec.ext.any_active:
-        start = 1 if spec.early_conv else 0
+        start = 1 if spec.stem_in_trunk else 0
         ekeys = jax.random.split(jax.random.fold_in(key, 55),
                                  spec.n_trunk_blocks)
         visual["ext_blocks"] = [
@@ -370,8 +412,12 @@ def init_params(key, spec: MSClipSpec):
                     relative_pos=spec.window_relative_pos,
                 )
             else:
-                a = S.init_lateral_adapter(akeys[i], out_dims[i], W,
-                                           spec.t2b_kernels[i])
+                a = S.init_lateral_adapter(
+                    akeys[i], out_dims[i], W, spec.t2b_kernels[i],
+                    bn_relu=spec.t2b_bn_relu,
+                    bn_ln_relu=spec.t2b_bn_ln_relu,
+                    noln_add=spec.t2b_noln_add,
+                )
                 if spec.b2t_active(i):
                     a.update(S.init_lateral_adapter_b2t(
                         jax.random.fold_in(akeys[i], 9), out_dims[i], W,
@@ -505,7 +551,9 @@ def resolve_text_block(params, spec: MSClipSpec, i: int):
     own = params["text"]["blocks"][i]
     if not spec.text_layer_is_shared(i) or spec.vision_resnet_layers:
         return own
-    vis = params["visual"]["blocks"][i - (1 if spec.early_conv else 0)]
+    offset = (1 if spec.visual_layer_minus1 else 0) \
+        + (1 if spec.stem_in_trunk else 0)
+    vis = params["visual"]["blocks"][i - offset]
     shared = set(spec.shared_param_keys())
     attn = {}
     for k in ("qkv_w", "qkv_b", "out_w", "out_b"):
@@ -559,10 +607,14 @@ def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
         return feats
 
     if spec.early_conv:
-        fmap = S.apply_earlyconv_res(
-            v["stem"], x, spec.early_conv_strides, bn,
-            first_conv_k=spec.early_conv_first_k, path="visual/stem",
-        )
+        if spec.early_conv_res:
+            fmap = S.apply_earlyconv_res(
+                v["stem"], x, spec.early_conv_strides, bn,
+                first_conv_k=spec.early_conv_first_k, path="visual/stem",
+            )
+        else:
+            fmap = S.apply_plain_conv_stem(v["stem"], x, bn,
+                                           path="visual/stem")
     else:
         fmap = L.conv2d(v["conv1"], x, stride=spec.vision_patch_size,
                         padding=0)
@@ -577,8 +629,8 @@ def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
     block = _block_fn(spec, spec.vision_drop_path if rng is not None else 0.0)
     parallel_x = None
     block_idx = 0
-    start = 1 if spec.early_conv else 0
-    for idx in range(start, spec.vision_layers):
+    start = 1 if spec.stem_in_trunk else 0
+    for idx in range(start, spec.effective_vision_layers):
         if spec.perceiver_in_v and idx in spec.perceiver_layers:
             from .crossattn import residual_cross_block
 
@@ -637,6 +689,11 @@ def encode_image(params, spec: MSClipSpec, images, *, normalize=True,
                     spec.t2b_kernels[li], spec.t2b_strides[li],
                     spec.t2b_paddings[li], bn, adapter_path,
                     use_cls=spec.t2b_use_cls,
+                    pool_kernel=spec.t2b_pool_sizes[li],
+                    bn_relu=spec.t2b_bn_relu,
+                    bn_ln_relu=spec.t2b_bn_ln_relu,
+                    noln_add=spec.t2b_noln_add,
+                    eps=spec.ln_eps,
                 )
                 if spec.b2t_active(li):
                     new_top = S.apply_lateral_adapter_b2t(
@@ -813,3 +870,19 @@ def build_model(config) -> MSClipModel:
 
 def param_count(params) -> int:
     return sum(p.size for p in jax.tree.leaves(params))
+
+
+def cast_params(params, dtype=jnp.bfloat16, keep_fp32=("mean", "var")):
+    """Cast weights to a lower precision, keeping BN running stats fp32 —
+    the TPU analogue of the reference's fp16 ``convert_weights``
+    (``:3158-3179``). Note the production path instead keeps fp32 params
+    and casts at use (the compute-dtype policy); this is for memory-bound
+    serving."""
+
+    def cast(path, leaf):
+        key = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        if key in keep_fp32:
+            return leaf
+        return leaf.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, params)

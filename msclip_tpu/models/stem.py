@@ -105,6 +105,28 @@ def apply_earlyconv_res(p, x, strides, bn: BNState, first_conv_k=3,
     return conv2d(p["last_conv"], x, stride=1, padding=0)
 
 
+def init_plain_conv_stem(key, width, std=0.02):
+    """The non-residual 6-conv stem (EARLY_CONV without EARLY_CONV_RES;
+    reference ``build_early_conv_block`` ``:2282-2342``): five conv3x3 s2
+    (3 -> w/16 -> w/8 -> w/4 -> w/2 -> w) + BN + ReLU, then 1x1 conv."""
+    dims = [3, width // 16, width // 8, width // 4, width // 2, width]
+    keys = jax.random.split(key, 6)
+    p = {}
+    for i in range(5):
+        p[f"conv_{i + 1}"] = init_conv(keys[i], 3, dims[i], dims[i + 1],
+                                       std=std)
+        p[f"bn_{i + 1}"] = init_batch_norm(dims[i + 1])
+    p["conv_6"] = init_conv(keys[5], 1, width, width, std=std)
+    return p
+
+
+def apply_plain_conv_stem(p, x, bn: BNState, path="stem"):
+    for i in range(1, 6):
+        x = conv2d(p[f"conv_{i}"], x, stride=2, padding=1)
+        x = jax.nn.relu(bn(p[f"bn_{i}"], x, f"{path}/bn_{i}"))
+    return conv2d(p["conv_6"], x, stride=1, padding=0)
+
+
 # ---------------------------------------------------------------------------
 # Parallel (modality-specific) conv branch
 # ---------------------------------------------------------------------------
@@ -190,9 +212,10 @@ def apply_parallel_stage(p, x, k, stride, padding, bn: BNState, path):
 # Lateral adapter (released top2bottom-only path)
 # ---------------------------------------------------------------------------
 
-def init_lateral_adapter(key, top_dim, bottom_dim, t2b_kernel, std=0.02):
+def init_lateral_adapter(key, top_dim, bottom_dim, t2b_kernel, std=0.02,
+                         bn_relu=False, bn_ln_relu=False, noln_add=False):
     keys = jax.random.split(key, 3)
-    return {
+    p = {
         "t2b_dw_conv": init_conv(keys[0], t2b_kernel, top_dim, top_dim,
                                  groups=top_dim, std=std),
         "t2b_dw_bn": init_batch_norm(top_dim),
@@ -200,8 +223,17 @@ def init_lateral_adapter(key, top_dim, bottom_dim, t2b_kernel, std=0.02):
         "bottom_dw_conv": init_conv(keys[2], 3, bottom_dim, bottom_dim,
                                     groups=bottom_dim, std=std),
         "bottom_dw_bn": init_batch_norm(bottom_dim),
-        "ln_adapt": init_layer_norm(bottom_dim),
     }
+    # PRALLEL_T2B_ADD_BN_RELU: BN after the pointwise conv too (:1587-1592)
+    if bn_relu:
+        p["t2b_pw_bn"] = init_batch_norm(bottom_dim)
+    # PRALLEL_T2B_ADD_BN_LN_RELU: LN (token-space) after the pw conv
+    # (:1593-1598)
+    if bn_ln_relu:
+        p["t2b_pw_ln"] = init_layer_norm(bottom_dim)
+    if not noln_add:
+        p["ln_adapt"] = init_layer_norm(bottom_dim)
+    return p
 
 
 def init_lateral_adapter_b2t(key, top_dim, bottom_dim, b2t_kernel,
@@ -299,7 +331,8 @@ def apply_lateral_adapter_b2t(p, top, bottom_grid, cls_tok, grid_hw, mode,
 
 def apply_lateral_adapter(p, top, bottom_tokens, grid_hw, t2b_kernel,
                           t2b_stride, t2b_padding, bn: BNState, path,
-                          use_cls=True):
+                          use_cls=True, pool_kernel=0, bn_relu=False,
+                          bn_ln_relu=False, noln_add=False, eps=1e-12):
     """Fuse the parallel-branch feature map into the trunk token sequence.
 
     top:           [B, Ht, Wt, top_dim]   parallel branch feature map
@@ -315,12 +348,28 @@ def apply_lateral_adapter(p, top, bottom_tokens, grid_hw, t2b_kernel,
     bottom_dim = bottom_tokens.shape[-1]
     top_dim = top.shape[-1]
 
+    # optional average pooling before the dwconv (PARALLEL_T2B_POOL_SIZE,
+    # reference :1561-1566, :1753-1754)
+    if pool_kernel:
+        top_in = jax.lax.reduce_window(
+            top, 0.0, jax.lax.add, (1, pool_kernel, pool_kernel, 1),
+            (1, pool_kernel, pool_kernel, 1), "VALID",
+        ) / float(pool_kernel * pool_kernel)
+    else:
+        top_in = top
+
     # top -> bottom: depthwise (stride matches grid) + BN + pointwise 1x1
-    t2b = conv2d(p["t2b_dw_conv"], top, stride=t2b_stride,
+    t2b = conv2d(p["t2b_dw_conv"], top_in, stride=t2b_stride,
                  padding=t2b_padding, groups=top_dim)
     t2b = bn(p["t2b_dw_bn"], t2b, f"{path}/t2b_dw_bn")
+    if bn_relu:
+        t2b = jax.nn.relu(t2b)
     t2b = conv2d(p["t2b_pw_conv"], t2b, stride=1, padding=0)
+    if bn_relu:
+        t2b = jax.nn.relu(bn(p["t2b_pw_bn"], t2b, f"{path}/t2b_pw_bn"))
     t2b = t2b.reshape(B, H * W, bottom_dim)
+    if bn_ln_relu:
+        t2b = jax.nn.relu(layer_norm(p["t2b_pw_ln"], t2b, eps=eps))
 
     cls_tok = bottom_tokens[:, :1, :]
     grid = bottom_tokens[:, 1:, :].reshape(B, H, W, bottom_dim)
@@ -333,5 +382,8 @@ def apply_lateral_adapter(p, top, bottom_tokens, grid_hw, t2b_kernel,
 
     t2b_cls = cls_tok if use_cls else jnp.zeros_like(cls_tok)
     t2b = jnp.concatenate([t2b_cls, t2b], axis=1)
-    fused = layer_norm(p["ln_adapt"], bottom_out + t2b, eps=1e-12)
+    if noln_add:  # PRALLEL_T2B_NOLN_ADD (:1774-1775)
+        fused = bottom_out + t2b
+    else:
+        fused = layer_norm(p["ln_adapt"], bottom_out + t2b, eps=eps)
     return top, fused

@@ -223,25 +223,33 @@ def build_key_map(spec: MSClipSpec) -> Dict[str, Tuple[tuple, callable]]:
         conv_pool("visual.conv_pool", V + ("conv_pool",))
 
     if spec.early_conv:
-        # resblocks.0 is the EarlyconvRes stem (reference :2042-2051)
-        stem_t = "visual.transformer.resblocks.0"
+        # stem location: resblocks.0 (EARLY_CONV_NEW_IMPLEMENT,
+        # reference :2042-2051) or visual.conv1 (legacy path :2500)
+        stem_t = ("visual.transformer.resblocks.0" if spec.stem_in_trunk
+                  else "visual.conv1")
         stem_p = V + ("stem",)
-        conv(f"{stem_t}.conv1.weight", stem_p + ("conv1",))
-        bnorm(f"{stem_t}.bn1", stem_p + ("bn1",))
-        for i in range(len(spec.early_conv_strides)):
-            st = f"{stem_t}.resnet_stage.conv_{i}"
-            sp = stem_p + ("stages", i)
-            conv(f"{st}.conv1.weight", sp + ("conv1",))
-            bnorm(f"{st}.bn1", sp + ("bn1",))
-            conv(f"{st}.downsample.0.weight", sp + ("down_conv",))
-            bnorm(f"{st}.downsample.1", sp + ("down_bn",))
-        conv(f"{stem_t}.last_conv.weight", stem_p + ("last_conv",))
-        first_block = 1
+        if spec.early_conv_res:
+            conv(f"{stem_t}.conv1.weight", stem_p + ("conv1",))
+            bnorm(f"{stem_t}.bn1", stem_p + ("bn1",))
+            for i in range(len(spec.early_conv_strides)):
+                st = f"{stem_t}.resnet_stage.conv_{i}"
+                sp = stem_p + ("stages", i)
+                conv(f"{st}.conv1.weight", sp + ("conv1",))
+                bnorm(f"{st}.bn1", sp + ("bn1",))
+                conv(f"{st}.downsample.0.weight", sp + ("down_conv",))
+                bnorm(f"{st}.downsample.1", sp + ("down_bn",))
+            conv(f"{stem_t}.last_conv.weight", stem_p + ("last_conv",))
+        else:  # plain 6-conv stem (:2282-2342)
+            for i in range(1, 6):
+                conv(f"{stem_t}.conv_{i}.weight", stem_p + (f"conv_{i}",))
+                bnorm(f"{stem_t}.bn_{i}", stem_p + (f"bn_{i}",))
+            conv(f"{stem_t}.conv_6.weight", stem_p + ("conv_6",))
+        first_block = 1 if spec.stem_in_trunk else 0
     else:
         conv("visual.conv1.weight", V + ("conv1",))
         first_block = 0
 
-    for i in range(first_block, spec.vision_layers):
+    for i in range(first_block, spec.effective_vision_layers):
         block(f"visual.transformer.resblocks.{i}",
               V + ("blocks", i - first_block))
         if spec.ext.any_active:
@@ -351,10 +359,15 @@ def build_key_map(spec: MSClipSpec) -> Dict[str, Tuple[tuple, callable]]:
             bnorm(f"{at}.top2bottom_dw_conv.bn", ap + ("t2b_dw_bn",))
             conv(f"{at}.top2bottom_pw_conv.conv.weight",
                  ap + ("t2b_pw_conv",))
+            if spec.t2b_bn_relu:
+                bnorm(f"{at}.top2bottom_pw_conv.bn", ap + ("t2b_pw_bn",))
+            if spec.t2b_bn_ln_relu:
+                ln(f"{at}.top2bottom_pw_conv.ln", ap + ("t2b_pw_ln",))
             conv(f"{at}.bottom_dw_conv.conv.weight",
                  ap + ("bottom_dw_conv",))
             bnorm(f"{at}.bottom_dw_conv.bn", ap + ("bottom_dw_bn",))
-            ln(f"{at}.ln_adapt", ap + ("ln_adapt",))
+            if not spec.t2b_noln_add:
+                ln(f"{at}.ln_adapt", ap + ("ln_adapt",))
             if spec.b2t_active(i):
                 map_b2t(at, ap)
 

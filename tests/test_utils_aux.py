@@ -86,3 +86,46 @@ def test_introspection_taps():
         atol=1e-6,
     )
     assert ttaps["attn_maps"].shape[0] == spec.text_layers
+
+
+def test_tokenize_with_idx():
+    from msclip_tpu.data import ClipTokenizer
+
+    tok = ClipTokenizer()
+    ids, idxs = tok.tokenize_with_idx(["a photograph of a dog"],
+                                      input_idxs=[1, 4])
+    assert ids.shape == (1, 77)
+    assert ids[0, 0] == tok.sot_token
+    # "photograph" may split into several BPE tokens; indices point into
+    # the token sequence (offset by SOT)
+    assert all(i >= 1 for i in idxs)
+    assert len(idxs) == 2
+
+
+def test_run_name_builders():
+    from msclip_tpu.config import get_default_config, update_config
+    from msclip_tpu.config.names import get_config_name
+
+    cfg = get_default_config()
+    update_config(cfg, "experiments/model/b32-yfcc-msclips.yaml")
+    name = get_config_name(cfg, world_size=8)
+    assert "clip_openai_pe_res_v1" in name
+    assert "224x224" in name
+    assert "X8" in name
+
+
+def test_cast_params_keeps_bn_stats():
+    import jax.numpy as jnp
+
+    from msclip_tpu.models import cast_params
+
+    params = {
+        "w": jnp.ones((4, 4), jnp.float32),
+        "bn": {"scale": jnp.ones(4), "mean": jnp.zeros(4),
+               "var": jnp.ones(4)},
+    }
+    out = cast_params(params)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["bn"]["scale"].dtype == jnp.bfloat16
+    assert out["bn"]["mean"].dtype == jnp.float32
+    assert out["bn"]["var"].dtype == jnp.float32
