@@ -27,6 +27,7 @@ from msclip_tpu.data.pairs import make_train_dataset
 from msclip_tpu.models import build_model
 from msclip_tpu.parallel import mesh_from_config, shard_params
 from msclip_tpu.train import CheckpointManager, auto_resume
+from msclip_tpu.train.averaging import swa_should_update, swa_update
 from msclip_tpu.train.optim import build_optimizer
 from msclip_tpu.train.trainer import init_train_state, make_train_step
 from msclip_tpu.utils.logging import create_logger
@@ -87,6 +88,7 @@ def main():
         f"=> training: {steps_per_epoch} steps/epoch x "
         f"{config.TRAIN.END_EPOCH} epochs, global batch {global_batch}"
     )
+    swa_params, swa_n = None, jnp.asarray(0)
     for epoch in range(begin_epoch, config.TRAIN.END_EPOCH):
         t0 = time.time()
         seen = 0
@@ -103,8 +105,25 @@ def main():
                     f"Epoch[{epoch}] Step[{i + 1}/{steps_per_epoch}] "
                     f"loss {loss:.4f} ({ips:.0f} samples/s)"
                 )
+        if swa_should_update(epoch, config):
+            if swa_params is None:
+                swa_params = jax.tree.map(lambda x: x, state.params)
+            else:
+                swa_params, swa_n = swa_update(swa_params, state.params,
+                                               swa_n)
         ckpt_mgr.save(int(state.step), state.params, state.opt_state,
                       extra={"epoch": epoch + 1})
+        if state.ema_params is not None or swa_params is not None:
+            # EMA/SWA shadows: the reference's ema_shadow_states /
+            # swa_states checkpoint fields (lib/utils/utils.py:157-201)
+            from msclip_tpu.train import save_params
+
+            if state.ema_params is not None:
+                save_params(os.path.join(out_dir, "checkpoints", "ema"),
+                            state.ema_params)
+            if swa_params is not None:
+                save_params(os.path.join(out_dir, "checkpoints", "swa"),
+                            swa_params)
         logging.info(f"=> epoch {epoch} done in {time.time() - t0:.1f}s")
     ckpt_mgr.wait()
     ckpt_mgr.close()
