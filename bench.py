@@ -36,6 +36,7 @@ def main():
     # fused Pallas attention core is the default (BENCH_PALLAS=0 disables)
     if os.environ.get("BENCH_PALLAS", "1") != "0":
         cfg.TPU.USE_PALLAS = True
+    cfg.TPU.CONV_LAYOUT = os.environ.get("BENCH_CONV_LAYOUT", "NHWC")
     spec = spec_from_config(cfg)
     model = MSClipModel(spec)
     params = model.init(jax.random.PRNGKey(0))

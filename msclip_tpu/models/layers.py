@@ -201,15 +201,20 @@ def transformer_block(p, x, n_head, mask=None, eps=1e-12, use_pallas=False,
     return x
 
 
-def conv2d(p, x, stride=1, padding=0, groups=1):
-    """NHWC conv with symmetric integer padding (torch Conv2d semantics)."""
+def conv2d(p, x, stride=1, padding=0, groups=1, layout="NHWC"):
+    """Conv with symmetric integer padding (torch Conv2d semantics).
+
+    ``layout``: activation layout. NHWC is the default; NCHW wins for the
+    low-channel high-resolution stem/branch convs on TPU (W on lanes
+    instead of a mostly-empty channel vector).
+    """
     pad = ((padding, padding), (padding, padding))
     return jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
         window_strides=(stride, stride),
         padding=pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=(layout, "HWIO", layout),
         feature_group_count=groups,
         preferred_element_type=x.dtype,
         precision=jax.lax.Precision.HIGHEST,
@@ -233,30 +238,37 @@ def conv_transpose2d(p, x, stride=1, padding=0, groups=1):
     )
 
 
-def batch_norm(p, x, eps=1e-5, training=False, axis_name=None, momentum=0.1):
-    """BatchNorm over NHWC (stats per channel).
+def batch_norm(p, x, eps=1e-5, training=False, axis_name=None, momentum=0.1,
+               layout="NHWC"):
+    """BatchNorm (stats per channel; channel axis from ``layout``).
 
     Inference: folds running stats into a single scale/offset (one fused
-    multiply-add on the VPU). Training: batch statistics over (N, H, W),
-    optionally psum-averaged across ``axis_name`` for cross-replica BN;
-    returns ``(y, new_stats)``.
+    multiply-add on the VPU). Training: batch statistics over the non-
+    channel axes, optionally psum-averaged across ``axis_name`` for
+    cross-replica BN; returns ``(y, new_stats)``.
     """
     dtype = x.dtype
+    c_axis = x.ndim - 1 if layout == "NHWC" else 1
+    bshape = [1] * x.ndim
+    bshape[c_axis] = -1
     if not training:
         scale = p["scale"] * jax.lax.rsqrt(p["var"] + eps)
         offset = p["bias"] - p["mean"] * scale
-        return x * scale.astype(dtype) + offset.astype(dtype)
+        return x * scale.astype(dtype).reshape(bshape) \
+            + offset.astype(dtype).reshape(bshape)
 
     xf = x.astype(jnp.float32)
-    axes = tuple(range(x.ndim - 1))
+    axes = tuple(a for a in range(x.ndim) if a != c_axis)
     mean = jnp.mean(xf, axis=axes)
     mean_sq = jnp.mean(jnp.square(xf), axis=axes)
     if axis_name is not None:
         mean = jax.lax.pmean(mean, axis_name)
         mean_sq = jax.lax.pmean(mean_sq, axis_name)
     var = mean_sq - jnp.square(mean)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = p["scale"] * y + p["bias"]
+    y = (xf - mean.reshape(bshape)) * jax.lax.rsqrt(
+        var.reshape(bshape) + eps
+    )
+    y = p["scale"].reshape(bshape) * y + p["bias"].reshape(bshape)
     # torch running_var uses the unbiased estimator
     n = math.prod([x.shape[a] for a in axes])
     if axis_name is not None:

@@ -49,12 +49,15 @@ class BNState:
     training: bool = False
     axis_name: Optional[str] = None
     updates: dict = field(default_factory=dict)
+    layout: str = "NHWC"
 
-    def __call__(self, p, x, path: str, eps: float = 1e-5):
+    def __call__(self, p, x, path: str, eps: float = 1e-5, layout=None):
+        layout = layout or self.layout
         if not self.training:
-            return batch_norm(p, x, eps=eps, training=False)
+            return batch_norm(p, x, eps=eps, training=False, layout=layout)
         y, new_stats = batch_norm(
-            p, x, eps=eps, training=True, axis_name=self.axis_name
+            p, x, eps=eps, training=True, axis_name=self.axis_name,
+            layout=layout,
         )
         self.updates[path] = new_stats
         return y
@@ -90,19 +93,20 @@ def init_earlyconv_res(key, width, first_conv_k=3, n_stages=4, std=0.02):
 
 def apply_earlyconv_res(p, x, strides, bn: BNState, first_conv_k=3,
                         path="stem"):
-    """x: [B, H, W, 3] -> [B, H/total_stride, W/total_stride, width]."""
+    """x (layout per ``bn.layout``) -> feature map at 1/total_stride."""
+    lo = bn.layout
     pad = (first_conv_k - 1) // 2
-    x = conv2d(p["conv1"], x, stride=2, padding=pad)
+    x = conv2d(p["conv1"], x, stride=2, padding=pad, layout=lo)
     x = bn(p["bn1"], x, f"{path}/bn1")
     x = jax.nn.relu(x)
     for i, (sp, s) in enumerate(zip(p["stages"], strides)):
         # ResBasicBlock_v0: conv3x3(s) + BN, 1x1-downsample(s) + BN, add, ReLU
-        out = conv2d(sp["conv1"], x, stride=s, padding=1)
+        out = conv2d(sp["conv1"], x, stride=s, padding=1, layout=lo)
         out = bn(sp["bn1"], out, f"{path}/stages/{i}/bn1")
-        identity = conv2d(sp["down_conv"], x, stride=s, padding=0)
+        identity = conv2d(sp["down_conv"], x, stride=s, padding=0, layout=lo)
         identity = bn(sp["down_bn"], identity, f"{path}/stages/{i}/down_bn")
         x = jax.nn.relu(out + identity)
-    return conv2d(p["last_conv"], x, stride=1, padding=0)
+    return conv2d(p["last_conv"], x, stride=1, padding=0, layout=lo)
 
 
 def init_plain_conv_stem(key, width, std=0.02):
@@ -121,10 +125,11 @@ def init_plain_conv_stem(key, width, std=0.02):
 
 
 def apply_plain_conv_stem(p, x, bn: BNState, path="stem"):
+    lo = bn.layout
     for i in range(1, 6):
-        x = conv2d(p[f"conv_{i}"], x, stride=2, padding=1)
+        x = conv2d(p[f"conv_{i}"], x, stride=2, padding=1, layout=lo)
         x = jax.nn.relu(bn(p[f"bn_{i}"], x, f"{path}/bn_{i}"))
-    return conv2d(p["conv_6"], x, stride=1, padding=0)
+    return conv2d(p["conv_6"], x, stride=1, padding=0, layout=lo)
 
 
 # ---------------------------------------------------------------------------
@@ -155,15 +160,17 @@ def init_conv_res_block(key, c_in, c_mid, c_out, k, res_conv, std=0.02):
 def apply_conv_res_block(p, x, k, stride, padding, bn: BNState, path):
     """1x1 -> kxk(stride) -> 1x1 bottleneck with projected residual
     (reference ``ConvResBlock.forward`` ``:1842-1861``; BN eps 1e-6)."""
+    lo = bn.layout
     residual = x
-    out = conv2d(p["conv1"], x, stride=1, padding=0)
+    out = conv2d(p["conv1"], x, stride=1, padding=0, layout=lo)
     out = jax.nn.relu(bn(p["bn1"], out, f"{path}/bn1", eps=1e-6))
-    out = conv2d(p["conv2"], out, stride=stride, padding=padding)
+    out = conv2d(p["conv2"], out, stride=stride, padding=padding, layout=lo)
     out = jax.nn.relu(bn(p["bn2"], out, f"{path}/bn2", eps=1e-6))
-    out = conv2d(p["conv3"], out, stride=1, padding=0)
+    out = conv2d(p["conv3"], out, stride=1, padding=0, layout=lo)
     out = bn(p["bn3"], out, f"{path}/bn3", eps=1e-6)
     if "residual_conv" in p:
-        residual = conv2d(p["residual_conv"], x, stride=stride, padding=0)
+        residual = conv2d(p["residual_conv"], x, stride=stride, padding=0,
+                          layout=lo)
         residual = bn(p["residual_bn"], residual, f"{path}/residual_bn",
                       eps=1e-6)
     return jax.nn.relu(out + residual)
@@ -200,7 +207,8 @@ def init_parallel_branch(key, width, n_layers, resnet_layers, kernels, std=0.02)
 
 def apply_parallel_stage(p, x, k, stride, padding, bn: BNState, path):
     if "blocks" not in p:  # plain conv+BN+ReLU stage
-        x = conv2d(p["conv"], x, stride=stride, padding=padding)
+        x = conv2d(p["conv"], x, stride=stride, padding=padding,
+                   layout=bn.layout)
         return jax.nn.relu(bn(p["bn"], x, f"{path}/bn"))
     for j, blk in enumerate(p["blocks"]):
         s = stride if j == 0 else 1
@@ -332,7 +340,8 @@ def apply_lateral_adapter_b2t(p, top, bottom_grid, cls_tok, grid_hw, mode,
 def apply_lateral_adapter(p, top, bottom_tokens, grid_hw, t2b_kernel,
                           t2b_stride, t2b_padding, bn: BNState, path,
                           use_cls=True, pool_kernel=0, bn_relu=False,
-                          bn_ln_relu=False, noln_add=False, eps=1e-12):
+                          bn_ln_relu=False, noln_add=False, eps=1e-12,
+                          top_layout="NHWC"):
     """Fuse the parallel-branch feature map into the trunk token sequence.
 
     top:           [B, Ht, Wt, top_dim]   parallel branch feature map
@@ -346,27 +355,33 @@ def apply_lateral_adapter(p, top, bottom_tokens, grid_hw, t2b_kernel,
     B = bottom_tokens.shape[0]
     H, W = grid_hw
     bottom_dim = bottom_tokens.shape[-1]
-    top_dim = top.shape[-1]
+    top_dim = top.shape[1] if top_layout == "NCHW" else top.shape[-1]
 
     # optional average pooling before the dwconv (PARALLEL_T2B_POOL_SIZE,
     # reference :1561-1566, :1753-1754)
     if pool_kernel:
+        wdims = ((1, 1, pool_kernel, pool_kernel)
+                 if top_layout == "NCHW"
+                 else (1, pool_kernel, pool_kernel, 1))
         top_in = jax.lax.reduce_window(
-            top, 0.0, jax.lax.add, (1, pool_kernel, pool_kernel, 1),
-            (1, pool_kernel, pool_kernel, 1), "VALID",
+            top, 0.0, jax.lax.add, wdims, wdims, "VALID",
         ) / float(pool_kernel * pool_kernel)
     else:
         top_in = top
 
     # top -> bottom: depthwise (stride matches grid) + BN + pointwise 1x1
     t2b = conv2d(p["t2b_dw_conv"], top_in, stride=t2b_stride,
-                 padding=t2b_padding, groups=top_dim)
-    t2b = bn(p["t2b_dw_bn"], t2b, f"{path}/t2b_dw_bn")
+                 padding=t2b_padding, groups=top_dim, layout=top_layout)
+    t2b = bn(p["t2b_dw_bn"], t2b, f"{path}/t2b_dw_bn", layout=top_layout)
     if bn_relu:
         t2b = jax.nn.relu(t2b)
-    t2b = conv2d(p["t2b_pw_conv"], t2b, stride=1, padding=0)
+    t2b = conv2d(p["t2b_pw_conv"], t2b, stride=1, padding=0,
+                 layout=top_layout)
     if bn_relu:
-        t2b = jax.nn.relu(bn(p["t2b_pw_bn"], t2b, f"{path}/t2b_pw_bn"))
+        t2b = jax.nn.relu(bn(p["t2b_pw_bn"], t2b, f"{path}/t2b_pw_bn",
+                             layout=top_layout))
+    if top_layout == "NCHW":
+        t2b = t2b.transpose(0, 2, 3, 1)
     t2b = t2b.reshape(B, H * W, bottom_dim)
     if bn_ln_relu:
         t2b = jax.nn.relu(layer_norm(p["t2b_pw_ln"], t2b, eps=eps))
@@ -374,8 +389,9 @@ def apply_lateral_adapter(p, top, bottom_tokens, grid_hw, t2b_kernel,
     cls_tok = bottom_tokens[:, :1, :]
     grid = bottom_tokens[:, 1:, :].reshape(B, H, W, bottom_dim)
     grid = conv2d(p["bottom_dw_conv"], grid, stride=1, padding=1,
-                  groups=bottom_dim)
-    grid = bn(p["bottom_dw_bn"], grid, f"{path}/bottom_dw_bn")
+                  groups=bottom_dim, layout="NHWC")
+    grid = bn(p["bottom_dw_bn"], grid, f"{path}/bottom_dw_bn",
+              layout="NHWC")
     bottom_out = jnp.concatenate(
         [cls_tok, grid.reshape(B, H * W, bottom_dim)], axis=1
     )

@@ -171,3 +171,22 @@ def test_fused_attention_qkv_grad_with_mask():
     g2 = jax.grad(loss_xla)(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_conv_layout_nchw_consistency():
+    """NCHW stem/branch path produces the same features as NHWC."""
+    import dataclasses
+
+    from msclip_tpu.models import encode_image, init_params
+    from test_train import tiny_msclips_spec
+
+    spec = tiny_msclips_spec()
+    params = init_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    a = encode_image(params, spec, x)
+    b = encode_image(
+        params, dataclasses.replace(spec, conv_layout="NCHW"), x
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                               rtol=1e-5)
