@@ -71,28 +71,42 @@ def _copy_containers(tree):
     return tree
 
 
-def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096):
-    """loss_fn(params, images, tokens) -> (loss, bn_updates)."""
+def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096,
+                 label_smoothing=0.0):
+    """loss_fn(params, images, tokens, rng) -> (loss, bn_updates).
 
-    def encode(params, images, tokens):
+    ``rng`` drives the stochastic training-time paths: DropPath in the
+    image tower and the Gumbel NAS action when GUMBEL_SELECT.
+    """
+
+    def encode(params, images, tokens, rng):
         bn = BNState(training=True)
-        fi = MM.encode_image(params, spec, images, bn=bn)
-        ft = MM.encode_text(params, spec, tokens)
+        action = None
+        if spec.ext.gumbel_select:
+            action_rng = None if rng is None else jax.random.fold_in(rng, 1)
+            action = MM.gumbel_action(params["gumbel_logit"], action_rng)
+        dp_rng = None
+        if rng is not None and spec.vision_drop_path > 0.0:
+            dp_rng = jax.random.fold_in(rng, 2)
+        fi = MM.encode_image(params, spec, images, bn=bn, action=action,
+                             rng=dp_rng)
+        ft = MM.encode_text(params, spec, tokens, action=action)
         return fi, ft, bn.updates
 
     if not sharded_loss:
 
-        def loss_fn(params, images, tokens):
-            fi, ft, bn_updates = encode(params, images, tokens)
-            loss = infonce_loss(fi, ft, params["logit_scale"])
+        def loss_fn(params, images, tokens, rng=None):
+            fi, ft, bn_updates = encode(params, images, tokens, rng)
+            loss = infonce_loss(fi, ft, params["logit_scale"],
+                                label_smoothing=label_smoothing)
             return loss, bn_updates
 
         return loss_fn
 
     assert mesh is not None
 
-    def loss_fn(params, images, tokens):
-        fi, ft, bn_updates = encode(params, images, tokens)
+    def loss_fn(params, images, tokens, rng=None):
+        fi, ft, bn_updates = encode(params, images, tokens, rng)
         sharded = shard_map(
             functools.partial(
                 chunked_sharded_infonce_loss,
@@ -111,17 +125,22 @@ def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096):
 
 def make_train_step(spec, tx, mesh=None, sharded_loss=False,
                     loss_chunk=4096, ema_decay: float = 0.0,
-                    donate: bool = True):
+                    donate: bool = True, label_smoothing: float = 0.0):
     """Build the jit-compiled train step.
 
-    step(state, images, tokens) -> (state, metrics)
+    step(state, images, tokens) -> (state, metrics). The step derives a
+    fresh rng from the step counter for the stochastic training paths.
     """
-    loss_fn = make_loss_fn(spec, mesh, sharded_loss, loss_chunk)
+    loss_fn = make_loss_fn(spec, mesh, sharded_loss, loss_chunk,
+                           label_smoothing)
+    needs_rng = spec.vision_drop_path > 0.0 or spec.ext.gumbel_select
 
     def step_fn(state: TrainState, images, tokens):
+        rng = (jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+               if needs_rng else None)
         (loss, bn_updates), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, images, tokens)
+        )(state.params, images, tokens, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         params = apply_bn_updates(params, bn_updates)

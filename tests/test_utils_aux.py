@@ -129,3 +129,39 @@ def test_cast_params_keeps_bn_stats():
     assert out["bn"]["scale"].dtype == jnp.bfloat16
     assert out["bn"]["mean"].dtype == jnp.float32
     assert out["bn"]["var"].dtype == jnp.float32
+
+
+def test_partial_load_gpt2():
+    """GPT-2-style block weights land in the shared trunk blocks for the
+    N_LAYERS-implied range, and flow to the text tower via sharing."""
+    import jax.numpy as jnp
+
+    from msclip_tpu.models import encode_text, init_params
+    from msclip_tpu.models.msclip import resolve_text_block
+    from msclip_tpu.utils.partial_load import load_layer_range, partial_load_gpt2
+    from test_train import tiny_msclips_spec
+
+    spec = tiny_msclips_spec()  # share_n_layers=1, 3 text layers
+    assert load_layer_range(spec) == [1, 2]
+    params = init_params(jax.random.PRNGKey(0), spec)
+    E = spec.text_width
+    rng = np.random.default_rng(0)
+    sd = {}
+    for l in (1, 2):
+        sd[f"h.{l}.attn.c_attn.weight"] = rng.standard_normal(
+            (E, 3 * E)).astype(np.float32)
+        sd[f"h.{l}.ln_1.weight"] = np.full(E, 2.0, np.float32)
+    loaded = partial_load_gpt2(params, spec, sd)
+    # landed in visual trunk block 0 (= trunk layer 1)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["visual"]["blocks"][0]["attn"]["qkv_w"]),
+        sd["h.1.attn.c_attn.weight"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded["visual"]["blocks"][0]["ln_1"]["scale"]), 2.0
+    )
+    # and the text tower consumes it through sharing
+    blk = resolve_text_block(loaded, spec, 1)
+    np.testing.assert_array_equal(
+        np.asarray(blk["attn"]["qkv_w"]), sd["h.1.attn.c_attn.weight"]
+    )
