@@ -93,3 +93,39 @@ def test_run_zero_shot_synthetic():
     value, stats = run_zero_shot(cfg)
     assert 0.0 <= value <= 100.0
     assert stats["n_images"] == 16
+
+
+def test_recall_at_k():
+    from msclip_tpu.eval.retrieval import recall_at_k
+
+    sim = np.array([
+        [0.9, 0.1, 0.0],   # gt 0 -> rank 0
+        [0.2, 0.1, 0.8],   # gt 1 -> rank 2
+    ])
+    r = recall_at_k(sim, np.array([0, 1]), ks=(1, 2, 3))
+    assert r[1] == 50.0
+    assert r[3] == 100.0
+
+
+def test_run_retrieval_identity():
+    """With captions whose embeddings equal their image's, retrieval must
+    be perfect; sanity on the plumbing with a tiny random model."""
+    from msclip_tpu.data.datasets import SyntheticImageDataset
+    from msclip_tpu.eval.retrieval import run_retrieval
+    from msclip_tpu.models import MSClipModel, MSClipSpec
+
+    spec = MSClipSpec(
+        embed_dim=16, image_resolution=32, vision_width=64, vision_layers=2,
+        vision_patch_size=16, vision_heads=1, text_width=64, text_heads=1,
+        text_layers=2, vocab_size=49408,
+    )
+    model = MSClipModel(spec)
+    params = model.init(jax.random.PRNGKey(0))
+    ds = SyntheticImageDataset(n=6, size=32, n_classes=3)
+    captions = [f"an image number {i}" for i in range(12)]
+    cap2img = [i // 2 for i in range(12)]
+    out = run_retrieval(model, params, ds, captions, cap2img,
+                        batch_size=4, workers=2)
+    for d in (out["i2t"], out["t2i"]):
+        assert set(d) == {1, 5, 10}
+        assert all(0.0 <= v <= 100.0 for v in d.values())
