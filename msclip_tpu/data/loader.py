@@ -21,7 +21,7 @@ import numpy as np
 class BatchLoader:
     def __init__(self, dataset, batch_size: int, workers: int = 8,
                  prefetch: int = 4, shuffle: bool = False, seed: int = 0,
-                 drop_last: bool = False):
+                 drop_last: bool = False, shard: tuple = (0, 1)):
         self.dataset = dataset
         self.batch_size = batch_size
         self.workers = max(workers, 1)
@@ -29,17 +29,24 @@ class BatchLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        # (rank, world): striped multi-process sharding of the sample order
+        self.shard = shard
+
+    def _order(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed).shuffle(order)
+        rank, world = self.shard
+        return order[rank::world] if world > 1 else order
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self._order())
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[dict]:
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.default_rng(self.seed).shuffle(order)
+        order = self._order()
         n_batches = len(self)
         batches = [
             order[i * self.batch_size : (i + 1) * self.batch_size]

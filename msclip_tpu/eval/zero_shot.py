@@ -90,6 +90,18 @@ def make_dataset(config, transform=None):
     )
 
 
+def _consume(pending, metric, top1, all_logits, all_y):
+    logits_dev, batch = pending
+    logits = np.asarray(logits_dev)
+    mask = batch["mask"]
+    if metric in ("11point_mAP", "mean-per-class", "roc_auc"):
+        all_logits.append(logits[mask])
+        all_y.append(np.asarray(batch["label"])[mask])
+    else:
+        prec1 = M.topk_accuracy(logits, batch["label"], (1,), mask)[0]
+        top1.update(prec1, int(mask.sum()))
+
+
 def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
     """Full zero-shot eval; returns (metric_value, stats dict)."""
     from ..models import build_model
@@ -116,10 +128,14 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
 
     if dataset is None:
         dataset = make_dataset(config)
+    from ..utils.comm import comm, gather_arrays, reduce_dict
+
+    # each process evaluates a stripe of the dataset; metrics are reduced
     loader = BatchLoader(
         dataset,
         batch_size=config.TEST.BATCH_SIZE_PER_GPU,
         workers=config.WORKERS,
+        shard=(comm.rank, comm.world_size),
     )
 
     @jax.jit
@@ -133,18 +149,33 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
     n_images = 0
     t0 = time.time()
     logging.info("=> Start to inference")
+    # simple double-buffering: dispatch batch i+1's transfer+compute before
+    # reading batch i's result back to the host
+    pending = None
     for batch in loader:
-        logits = logits_fn(params, weights, jnp.asarray(batch["image"]))
-        logits = np.asarray(logits)
-        mask = batch["mask"]
-        n_images += int(mask.sum())
-        if metric in ("11point_mAP", "mean-per-class", "roc_auc"):
-            all_logits.append(logits[mask])
-            all_y.append(np.asarray(batch["label"])[mask])
-        else:
-            prec1 = M.topk_accuracy(logits, batch["label"], (1,), mask)[0]
-            top1.update(prec1, int(mask.sum()))
+        dispatched = (
+            logits_fn(params, weights, jnp.asarray(batch["image"])),
+            batch,
+        )
+        if pending is not None:
+            _consume(pending, metric, top1, all_logits, all_y)
+            n_images += int(pending[1]["mask"].sum())
+        pending = dispatched
+    if pending is not None:
+        _consume(pending, metric, top1, all_logits, all_y)
+        n_images += int(pending[1]["mask"].sum())
     elapsed = time.time() - t0
+
+    if comm.world_size > 1 and metric in ("11point_mAP", "mean-per-class",
+                                          "roc_auc"):
+        all_logits = [gather_arrays(np.concatenate(all_logits))]
+        all_y = [gather_arrays(np.concatenate(all_y))]
+    elif comm.world_size > 1:
+        sums = reduce_dict(
+            {"sum": top1.sum, "count": float(top1.count)}, average=False
+        )
+        top1 = M.AverageMeter()
+        top1.update(sums["sum"] / max(sums["count"], 1), int(sums["count"]))
 
     if metric == "11point_mAP":
         value = M.multilabel_map_11points(
