@@ -60,6 +60,7 @@ def build_zeroshot_classifier(model: MSClipModel, params, tokenizer,
 def make_dataset(config, transform=None):
     """Dataset factory mirroring the reference's dispatch
     (tools/zero_shot.py:208-217) plus a synthetic fallback for CI."""
+    import functools
     import os
 
     from ..data.datasets import (
@@ -69,6 +70,15 @@ def make_dataset(config, transform=None):
         SyntheticImageDataset,
         Voc2007Classification,
     )
+    from ..data.transforms import pil_eval_transform
+
+    if transform is None:
+        transform = functools.partial(
+            pil_eval_transform,
+            size=config.TEST.IMAGE_SIZE[0],
+            mean=tuple(config.INPUT.MEAN),
+            std=tuple(config.INPUT.STD),
+        )
 
     name = config.DATASET.DATASET
     root = config.DATASET.ROOT

@@ -456,10 +456,15 @@ def convert_torch_state_dict(state_dict, spec: MSClipSpec, template=None,
             continue
         expected = _get_path(template, path)
         if tuple(arr.shape) != tuple(expected.shape):
-            raise ValueError(
-                f"Shape mismatch for {key} -> {path}: torch {arr.shape} vs "
-                f"params {expected.shape}"
-            )
+            # tolerate rank-only differences (e.g. logit_scale stored as
+            # shape (1,) vs scalar)
+            if arr.size == expected.size:
+                arr = arr.reshape(expected.shape)
+            else:
+                raise ValueError(
+                    f"Shape mismatch for {key} -> {path}: torch {arr.shape} "
+                    f"vs params {expected.shape}"
+                )
         _set_path(params, path, jnp.asarray(arr, dtype=jnp.float32))
         consumed.add(key)
         filled.add(path)

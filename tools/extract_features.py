@@ -23,6 +23,9 @@ from msclip_tpu.utils.logging import create_logger
 
 
 def main():
+    from msclip_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
     p = argparse.ArgumentParser(description="Extract image features.")
     p.add_argument("--ds", required=True)
     p.add_argument("--model", required=True)

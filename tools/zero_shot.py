@@ -34,6 +34,9 @@ def parse_args():
 
 
 def main():
+    from msclip_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
     args = parse_args()
     config = get_default_config()
     update_config(config, args.ds)
