@@ -40,6 +40,10 @@ def main():
     spec = spec_from_config(cfg)
     model = MSClipModel(spec)
     params = model.init(jax.random.PRNGKey(0))
+    if os.environ.get("BENCH_FOLD_BN", "1") != "0":
+        from msclip_tpu.models.folding import fold_params_for_eval
+
+        params = fold_params_for_eval(params, spec)
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     n_iters = int(os.environ.get("BENCH_ITERS", "8"))

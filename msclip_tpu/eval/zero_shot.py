@@ -119,6 +119,10 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
 
     model = build_model(config)
     params = load_model_params(config, model)
+    if config.TPU.get("FOLD_BN", True):
+        from ..models.folding import fold_params_for_eval
+
+        params = fold_params_for_eval(params, model.spec)
 
     tokenizer = ClipTokenizer()
     prompt_name = prompt_dataset or config.DATASET.DATASET

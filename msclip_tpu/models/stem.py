@@ -91,11 +91,26 @@ def init_earlyconv_res(key, width, first_conv_k=3, n_stages=4, std=0.02):
     return p
 
 
+def _bias(x, b, layout):
+    if layout == "NCHW":
+        return x + b.astype(x.dtype)[None, :, None, None]
+    return x + b.astype(x.dtype)
+
+
 def apply_earlyconv_res(p, x, strides, bn: BNState, first_conv_k=3,
                         path="stem"):
     """x (layout per ``bn.layout``) -> feature map at 1/total_stride."""
     lo = bn.layout
     pad = (first_conv_k - 1) // 2
+    if "bn1" not in p:  # BN-folded inference params (folding.py)
+        x = jax.nn.relu(_bias(
+            conv2d(p["conv1"], x, stride=2, padding=pad, layout=lo),
+            p["conv1"]["b"], lo))
+        for sp, st in zip(p["stages"], strides):
+            x = jax.nn.relu(_bias(
+                conv2d(sp, x, stride=st, padding=1, layout=lo),
+                sp["b"], lo))
+        return conv2d(p["last_conv"], x, stride=1, padding=0, layout=lo)
     x = conv2d(p["conv1"], x, stride=2, padding=pad, layout=lo)
     x = bn(p["bn1"], x, f"{path}/bn1")
     x = jax.nn.relu(x)
@@ -126,9 +141,13 @@ def init_plain_conv_stem(key, width, std=0.02):
 
 def apply_plain_conv_stem(p, x, bn: BNState, path="stem"):
     lo = bn.layout
+    folded = "bn_1" not in p
     for i in range(1, 6):
         x = conv2d(p[f"conv_{i}"], x, stride=2, padding=1, layout=lo)
-        x = jax.nn.relu(bn(p[f"bn_{i}"], x, f"{path}/bn_{i}"))
+        if folded:
+            x = jax.nn.relu(_bias(x, p[f"conv_{i}"]["b"], lo))
+        else:
+            x = jax.nn.relu(bn(p[f"bn_{i}"], x, f"{path}/bn_{i}"))
     return conv2d(p["conv_6"], x, stride=1, padding=0, layout=lo)
 
 
@@ -161,6 +180,20 @@ def apply_conv_res_block(p, x, k, stride, padding, bn: BNState, path):
     """1x1 -> kxk(stride) -> 1x1 bottleneck with projected residual
     (reference ``ConvResBlock.forward`` ``:1842-1861``; BN eps 1e-6)."""
     lo = bn.layout
+    if "bn1" not in p:  # folded
+        residual = x
+        out = jax.nn.relu(_bias(conv2d(p["conv1"], x, 1, 0, layout=lo),
+                                p["conv1"]["b"], lo))
+        out = jax.nn.relu(_bias(
+            conv2d(p["conv2"], out, stride, padding, layout=lo),
+            p["conv2"]["b"], lo))
+        out = _bias(conv2d(p["conv3"], out, 1, 0, layout=lo),
+                    p["conv3"]["b"], lo)
+        if "residual_conv" in p:
+            residual = _bias(
+                conv2d(p["residual_conv"], x, stride, 0, layout=lo),
+                p["residual_conv"]["b"], lo)
+        return jax.nn.relu(out + residual)
     residual = x
     out = conv2d(p["conv1"], x, stride=1, padding=0, layout=lo)
     out = jax.nn.relu(bn(p["bn1"], out, f"{path}/bn1", eps=1e-6))
@@ -209,6 +242,8 @@ def apply_parallel_stage(p, x, k, stride, padding, bn: BNState, path):
     if "blocks" not in p:  # plain conv+BN+ReLU stage
         x = conv2d(p["conv"], x, stride=stride, padding=padding,
                    layout=bn.layout)
+        if "bn" not in p:  # folded
+            return jax.nn.relu(_bias(x, p["conv"]["b"], bn.layout))
         return jax.nn.relu(bn(p["bn"], x, f"{path}/bn"))
     for j, blk in enumerate(p["blocks"]):
         s = stride if j == 0 else 1
@@ -372,7 +407,11 @@ def apply_lateral_adapter(p, top, bottom_tokens, grid_hw, t2b_kernel,
     # top -> bottom: depthwise (stride matches grid) + BN + pointwise 1x1
     t2b = conv2d(p["t2b_dw_conv"], top_in, stride=t2b_stride,
                  padding=t2b_padding, groups=top_dim, layout=top_layout)
-    t2b = bn(p["t2b_dw_bn"], t2b, f"{path}/t2b_dw_bn", layout=top_layout)
+    if "t2b_dw_bn" not in p:  # folded
+        t2b = _bias(t2b, p["t2b_dw_conv"]["b"], top_layout)
+    else:
+        t2b = bn(p["t2b_dw_bn"], t2b, f"{path}/t2b_dw_bn",
+                 layout=top_layout)
     if bn_relu:
         t2b = jax.nn.relu(t2b)
     t2b = conv2d(p["t2b_pw_conv"], t2b, stride=1, padding=0,
@@ -390,8 +429,11 @@ def apply_lateral_adapter(p, top, bottom_tokens, grid_hw, t2b_kernel,
     grid = bottom_tokens[:, 1:, :].reshape(B, H, W, bottom_dim)
     grid = conv2d(p["bottom_dw_conv"], grid, stride=1, padding=1,
                   groups=bottom_dim, layout="NHWC")
-    grid = bn(p["bottom_dw_bn"], grid, f"{path}/bottom_dw_bn",
-              layout="NHWC")
+    if "bottom_dw_bn" not in p:  # folded
+        grid = grid + p["bottom_dw_conv"]["b"].astype(grid.dtype)
+    else:
+        grid = bn(p["bottom_dw_bn"], grid, f"{path}/bottom_dw_bn",
+                  layout="NHWC")
     bottom_out = jnp.concatenate(
         [cls_tok, grid.reshape(B, H * W, bottom_dim)], axis=1
     )

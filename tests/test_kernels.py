@@ -190,3 +190,47 @@ def test_conv_layout_nchw_consistency():
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
                                rtol=1e-5)
+
+
+def test_bn_folding_exact():
+    """Folded inference params reproduce the unfolded forward exactly
+    (fp32) on the full MS-CLIP-S path incl. adapters."""
+    from msclip_tpu.models import encode_image, init_params
+    from msclip_tpu.models.folding import fold_params_for_eval
+    from test_train import tiny_msclips_spec
+
+    spec = tiny_msclips_spec()
+    params = init_params(jax.random.PRNGKey(0), spec)
+    # randomize BN stats so folding is non-trivial
+    rng = np.random.default_rng(1)
+
+    def randomize(tree):
+        if isinstance(tree, dict):
+            if set(tree) == {"scale", "bias", "mean", "var"}:
+                return {
+                    "scale": jnp.asarray(
+                        rng.uniform(0.5, 1.5, tree["scale"].shape),
+                        jnp.float32),
+                    "bias": jnp.asarray(
+                        rng.normal(0, 0.1, tree["bias"].shape), jnp.float32),
+                    "mean": jnp.asarray(
+                        rng.normal(0, 0.1, tree["mean"].shape), jnp.float32),
+                    "var": jnp.asarray(
+                        rng.uniform(0.5, 1.5, tree["var"].shape),
+                        jnp.float32),
+                }
+            return {k: randomize(v) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [randomize(v) for v in tree]
+        return tree
+
+    params = randomize(params)
+    folded = fold_params_for_eval(params, spec)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 32, 32, 3)),
+        jnp.float32,
+    )
+    a = encode_image(params, spec, x)
+    b = encode_image(folded, spec, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                               rtol=1e-4)
