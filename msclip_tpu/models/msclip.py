@@ -125,6 +125,8 @@ class MSClipSpec:
     compute_dtype: str = "float32"
     remat: bool = False
     use_pallas: bool = False
+    # inference-only megakernels: whole half-blocks fused (no VJP)
+    use_fused_block: bool = False
     vision_drop_path: float = 0.0
     # activation layout for the conv stem / parallel branch; NCHW wins for
     # low-channel high-res convs on TPU (v5e: branch 5.0 -> 3.9 ms)
@@ -314,6 +316,7 @@ def spec_from_config(config) -> MSClipSpec:
         compute_dtype=config.TPU.COMPUTE_DTYPE,
         remat=config.TPU.REMAT,
         use_pallas=config.TPU.USE_PALLAS,
+        use_fused_block=config.TPU.get("USE_FUSED_BLOCK", False),
         conv_layout=config.TPU.get("CONV_LAYOUT", "NHWC"),
         vision_drop_path=vision.get("DROP_PATH", 0.0),
         ext=ext_spec_from_custom(custom),
@@ -576,6 +579,12 @@ def resolve_text_block(params, spec: MSClipSpec, i: int):
 # ---------------------------------------------------------------------------
 
 def _block_fn(spec: MSClipSpec, drop_path_rate=0.0):
+    if spec.use_fused_block and drop_path_rate == 0.0:
+        from ..ops.block_fused import fused_block
+
+        return lambda p, x, heads, mask, rng=None: fused_block(
+            x, p, heads, mask, eps=spec.ln_eps
+        )
     fn = lambda p, x, heads, mask, rng=None: L.transformer_block(
         p, x, heads, mask, eps=spec.ln_eps, use_pallas=spec.use_pallas,
         drop_path_rate=drop_path_rate, rng=rng,

@@ -234,3 +234,24 @@ def test_bn_folding_exact():
     b = encode_image(folded, spec, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
                                rtol=1e-4)
+
+
+def test_fused_block_matches_xla():
+    """Inference megakernels (attention + MLP half-blocks) match the XLA
+    block, with and without a causal mask, incl. batch padding."""
+    from msclip_tpu.ops.block_fused import fused_block
+
+    rng = np.random.default_rng(9)
+    E, H, B, Lq = 64, 2, 3, 50
+    x = jnp.asarray(rng.standard_normal((B, Lq, E)).astype(np.float32))
+    blk = L.init_block(jax.random.PRNGKey(1), E)
+    want = L.transformer_block(blk, x, H)
+    got = fused_block(x, blk, H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    mask = L.build_causal_mask(Lq)
+    want = L.transformer_block(blk, x, H, mask)
+    got = fused_block(x, blk, H, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
