@@ -37,6 +37,8 @@ def main():
     if os.environ.get("BENCH_PALLAS", "1") != "0":
         cfg.TPU.USE_PALLAS = True
     cfg.TPU.CONV_LAYOUT = os.environ.get("BENCH_CONV_LAYOUT", "NHWC")
+    if os.environ.get("BENCH_FUSED_BLOCK", "0") != "0":
+        cfg.TPU.USE_FUSED_BLOCK = True
     spec = spec_from_config(cfg)
     model = MSClipModel(spec)
     params = model.init(jax.random.PRNGKey(0))
