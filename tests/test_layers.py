@@ -172,3 +172,32 @@ def test_block_residual_structure():
     x = jnp.array(rand(2, 5, 32))
     y = L.transformer_block(p, x, n_head=2)
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_batch_norm_train_vs_torch():
+    """Training-mode BN (batch stats + running-stat update) matches torch."""
+    C = 6
+    x = rand(4, 5, 5, C)
+    scale, bias = rand(C), np.abs(rand(C)) + 0.1
+    mean0, var0 = rand(C), np.abs(rand(C)) + 0.5
+    p = {"scale": jnp.array(scale), "bias": jnp.array(bias),
+         "mean": jnp.array(mean0), "var": jnp.array(var0)}
+    y, stats = L.batch_norm(p, jnp.array(x), eps=1e-5, training=True)
+
+    bn = torch.nn.BatchNorm2d(C, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        bn.weight.copy_(torch.tensor(scale))
+        bn.bias.copy_(torch.tensor(bias))
+        bn.running_mean.copy_(torch.tensor(mean0))
+        bn.running_var.copy_(torch.tensor(var0))
+    bn.train()
+    want = bn(torch.tensor(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(y), want.detach().permute(0, 2, 3, 1).numpy(), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats["mean"]), bn.running_mean.numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats["var"]), bn.running_var.numpy(), atol=1e-4
+    )
