@@ -29,8 +29,9 @@ def main():
 
     root = os.path.dirname(os.path.abspath(__file__))
     cfg = get_default_config()
+    model_yaml = os.environ.get("BENCH_MODEL", "b32-yfcc-msclips")
     update_config(
-        cfg, os.path.join(root, "experiments/model/b32-yfcc-msclips.yaml")
+        cfg, os.path.join(root, f"experiments/model/{model_yaml}.yaml")
     )
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     # fused Pallas attention core is the default (BENCH_PALLAS=0 disables)
@@ -95,8 +96,8 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    "zero-shot eval throughput, MS-CLIP-S ViT-B/32 @224 "
-                    "bf16 (encode_image + 1k-class logits)"
+                    f"zero-shot eval throughput, MS-CLIP-S {model_yaml} "
+                    "@224 bf16 (encode_image + 1k-class logits)"
                 ),
                 "value": round(ips, 1),
                 "unit": "images/sec/chip",

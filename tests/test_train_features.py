@@ -143,3 +143,41 @@ def test_drop_path_active_in_training_forward():
     d = encode_image(params, spec, x)
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
     np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+def test_gumbel_train_step_updates_arch():
+    """Train step with GUMBEL_SELECT: runs, loss finite, gumbel_logit gets
+    gradient updates through the straight-through estimator."""
+    from msclip_tpu.config import get_default_config
+    from msclip_tpu.models import MSClipModel, MSClipSpec
+    from msclip_tpu.models.extensions import ExtSpec
+    from msclip_tpu.train.optim import build_optimizer
+    from msclip_tpu.train.trainer import init_train_state, make_train_step
+
+    spec = MSClipSpec(
+        embed_dim=16, image_resolution=32, vision_width=64, vision_layers=2,
+        vision_patch_size=16, vision_heads=1, text_width=64, text_heads=1,
+        text_layers=2, vocab_size=128, context_length=8,
+        ext=ExtSpec(gumbel_select=True, gumbel_addtwo=True),
+    )
+    model = MSClipModel(spec)
+    cfg = get_default_config()
+    cfg.CUSTOM.GUMBEL_LR = 1e-2
+    params = model.init(jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=10)
+    state = init_train_state(model, tx, params=params)
+    step = make_train_step(spec, tx, donate=False)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    tokens = np.zeros((4, 8), np.int32)
+    tokens[:, 0] = 126
+    tokens[:, 1] = 5
+    tokens[:, 2] = 127
+    logit0 = np.asarray(state.params["gumbel_logit"])
+    for _ in range(3):
+        state, metrics = step(state, images, jnp.asarray(tokens))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.abs(
+        np.asarray(state.params["gumbel_logit"]) - logit0
+    ).max() > 0

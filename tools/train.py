@@ -57,8 +57,9 @@ def main():
     dataset = make_train_dataset(config)
     n_devices = jax.device_count()
     global_batch = config.TRAIN.BATCH_SIZE_PER_GPU * n_devices
+    per_process_batch = global_batch // jax.process_count()
     loader = BatchLoaderPairs(
-        dataset, global_batch, workers=config.WORKERS,
+        dataset, per_process_batch, workers=config.WORKERS,
         shuffle=config.TRAIN.SHUFFLE,
     )
     steps_per_epoch = max(len(dataset) // global_batch, 1)
@@ -135,11 +136,13 @@ def main():
 
 class BatchLoaderPairs(BatchLoader):
     """BatchLoader yielding {'image','tokens'} with drop_last semantics for
-    fixed global-batch training."""
+    fixed global-batch training; each host process loads its stripe of the
+    dataset (multi-host data parallelism)."""
 
     def __init__(self, dataset, batch_size, workers=8, shuffle=True, seed=0):
         super().__init__(dataset, batch_size, workers=workers,
-                         shuffle=shuffle, seed=seed, drop_last=True)
+                         shuffle=shuffle, seed=seed, drop_last=True,
+                         shard=(jax.process_index(), jax.process_count()))
 
     def __iter__(self):
         for batch in super().__iter__():
