@@ -1,15 +1,30 @@
-"""Fully-fused transformer half-block kernels (Pallas TPU, inference).
+"""Fused attention half-block megakernel (Pallas TPU, inference).
 
-Two megakernels covering a whole pre-LN block:
+``fused_attention_halfblock`` computes ``x + attn(ln_1(x))`` in ONE kernel:
+LN -> q/k/v projections -> per-head attention -> out-projection -> residual
+add, with all weights VMEM-resident. None of the intermediates (ln(x), q,
+k, v, scores, context, projection input) ever touch HBM; per layer only x
+is read and x' written.
 
-* ``fused_attention_halfblock`` — LN -> QKV GEMM -> per-head attention ->
-  out-projection -> residual add, with ALL weights VMEM-resident. Nothing
-  but x and x' touch HBM (the XLA pipeline writes ln(x), qkv, scores,
-  context and the projection input).
-* ``fused_mlp_halfblock``       — LN -> c_fc GEMM -> QuickGELU -> c_proj ->
-  residual add; the 4x-wide intermediate never leaves VMEM.
+Kernel-shape findings from v5e tuning (experiments/halfblock_tuning.py,
+B=256, ViT-B/32):
 
-Inference-path kernels (no VJP): enabled by ``TPU.USE_FUSED_BLOCK`` for
+* Mosaic's in-kernel matmul reaches ~131 TF/s at these shapes vs ~296 TF/s
+  for XLA's GEMM emitter, so fusing a GEMM into Pallas costs ~2x its
+  compute time and is only worth it when the eliminated HBM round-trips
+  are bigger. That holds for the attention half (qkv round trip is 118
+  MB/layer at B=256: fused 7.7 ms vs 9.3 ms unfused per 11 layers) but
+  NOT for the MLP half (240 GFLOP/layer of GEMM vs one 78 MB intermediate:
+  fused measured slower), so ``fused_block`` keeps the MLP half in XLA.
+* 3-D dots (batch dim = samples) beat flattening ``[TB, L, E]`` to
+  ``[TB*L, E]`` — the flatten is a relayout at L=50 (not a multiple of the
+  bf16 16-row tile), and padding L to 64 costs more FLOPs than the
+  alignment recovers.
+* Separate q/k/v projections (three ``[E, E]`` dots) beat one fused
+  ``[E, 3E]`` dot: the fp32 accumulator stays 3x smaller and the bf16
+  cast pipelines per projection.
+
+Inference-path kernel (no VJP): enabled by ``TPU.USE_FUSED_BLOCK`` for
 eval; training uses the differentiable attention-core kernel instead.
 """
 
@@ -23,13 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _ln(xt, g_ref, b_ref, eps):
+def _ln(xt, g, b, eps):
     xf = xt.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
     normed = ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(xt.dtype)
-    return g_ref[...].astype(xt.dtype) * normed \
-        + b_ref[...].astype(xt.dtype)
+    return g.astype(xt.dtype) * normed + b.astype(xt.dtype)
 
 
 def _attn_half_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref,
@@ -39,60 +53,62 @@ def _attn_half_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref,
     TB, Lk, E = xt.shape
     D = E // n_head
 
-    h = _ln(xt, g_ref, b_ref, eps)
-    qkv = jax.lax.dot_general(
-        h.reshape(TB * Lk, E), wqkv_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(xt.dtype)
-    qkv = qkv.reshape(TB, Lk, 3 * E)
+    h = _ln(xt, g_ref[...], b_ref[...], eps)
+    wq = wqkv_ref[...]
+    bq = bqkv_ref[...]
+
+    def proj(w, b):  # [TB, L, E] @ [E, E] -> bf16, fp32 accumulation
+        r = jax.lax.dot_general(h, w, (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (r + b.astype(jnp.float32)).astype(xt.dtype)
+
+    q = proj(wq[:, :E], bq[:E])
+    k = proj(wq[:, E:2 * E], bq[E:2 * E])
+    v = proj(wq[:, 2 * E:], bq[2 * E:])
 
     for hh in range(n_head):
-        q = qkv[:, :, hh * D:(hh + 1) * D].astype(jnp.float32)
-        k = qkv[:, :, E + hh * D:E + (hh + 1) * D].astype(jnp.float32)
-        v = qkv[:, :, 2 * E + hh * D:2 * E + (hh + 1) * D]
+        qh = q[:, :, hh * D:(hh + 1) * D]
+        kh = k[:, :, hh * D:(hh + 1) * D]
+        vh = v[:, :, hh * D:(hh + 1) * D]
         s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale
+            qh.astype(jnp.float32), kh.astype(jnp.float32),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
         if has_mask:
             s = s + mask_ref[...]
-        w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-        o = jax.lax.dot_general(
-            w, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        w = jax.nn.softmax(s, axis=-1).astype(xt.dtype)
+        o = jax.lax.dot_general(w, vh, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
         ctx_ref[:, :, hh * D:(hh + 1) * D] = o.astype(ctx_ref.dtype)
 
-    out = jax.lax.dot_general(
-        ctx_ref[...].reshape(TB * Lk, E), wo_ref[...],
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
+    out = jax.lax.dot_general(ctx_ref[...], wo_ref[...],
+                              (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
     out = out + bo_ref[...].astype(jnp.float32)
-    o_ref[...] = xt + out.reshape(TB, Lk, E).astype(xt.dtype)
+    o_ref[...] = xt + out.astype(xt.dtype)
 
 
 def _mlp_half_kernel(x_ref, g_ref, b_ref, wfc_ref, bfc_ref, wpr_ref,
                      bpr_ref, o_ref, *, eps):
     xt = x_ref[...]
-    TB, Lk, E = xt.shape
-    h = _ln(xt, g_ref, b_ref, eps).reshape(TB * Lk, E)
+    h = _ln(xt, g_ref[...], b_ref[...], eps)
     mid = jax.lax.dot_general(
-        h, wfc_ref[...], (((1,), (0,)), ((), ())),
+        h, wfc_ref[...], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     mid = mid + bfc_ref[...].astype(jnp.float32)
     mid = (mid * jax.nn.sigmoid(1.702 * mid)).astype(xt.dtype)
     out = jax.lax.dot_general(
-        mid, wpr_ref[...], (((1,), (0,)), ((), ())),
+        mid, wpr_ref[...], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     out = out + bpr_ref[...].astype(jnp.float32)
-    o_ref[...] = xt + out.reshape(TB, Lk, E).astype(xt.dtype)
+    o_ref[...] = xt + out.astype(xt.dtype)
 
 
-def _pick_tb(batch, per_sample_bytes, budget=2 * 1024 * 1024):
+def _pick_tb(batch, per_sample_bytes, budget=4 * 1024 * 1024):
     tb = max(1, budget // per_sample_bytes)
+    tb = 1 << (tb.bit_length() - 1)
     while tb > 1 and batch % tb:
         tb //= 2
     return max(tb, 1)
@@ -160,7 +176,13 @@ def fused_attention_halfblock(x, blk, n_head, mask=None, *, eps=1e-12,
                                              "batch_tile"))
 def fused_mlp_halfblock(x, blk, *, eps=1e-12, interpret=False,
                         batch_tile=None):
-    """x + mlp(ln_2(x)) in one kernel. x: [B, L, E]."""
+    """x + mlp(ln_2(x)) in one kernel. x: [B, L, E].
+
+    NOTE: measured slower than the XLA MLP half on v5e (Mosaic GEMM
+    efficiency, see module docstring) — kept for API completeness and
+    memory-constrained serving (the 4x intermediate never hits HBM), but
+    ``fused_block`` does not use it.
+    """
     B, L, E = x.shape
     tb = batch_tile or _pick_tb(B, L * E * x.dtype.itemsize * 10)
     pad_b = (-B) % tb
@@ -190,7 +212,20 @@ def fused_mlp_halfblock(x, blk, *, eps=1e-12, interpret=False,
 
 
 def fused_block(x, blk, n_head, mask=None, *, eps=1e-12, interpret=False):
-    """Full pre-LN block as two megakernels (inference)."""
+    """Full pre-LN block: fused attention half + XLA MLP half.
+
+    The hybrid is the measured-fastest split on v5e (see module
+    docstring): Pallas where fusion wins (attention half), XLA where its
+    GEMM emitter wins (MLP half).
+    """
     x = fused_attention_halfblock(x, blk, n_head, mask, eps=eps,
                                   interpret=interpret)
-    return fused_mlp_halfblock(x, blk, eps=eps, interpret=interpret)
+    h = _ln(x, blk["ln_2"]["scale"], blk["ln_2"]["bias"], eps)
+    mid = jnp.dot(h, blk["mlp"]["c_fc"]["w"].astype(x.dtype),
+                  precision=jax.lax.Precision.HIGHEST) \
+        + blk["mlp"]["c_fc"]["b"].astype(x.dtype)
+    mid = mid * jax.nn.sigmoid(1.702 * mid)
+    out = jnp.dot(mid, blk["mlp"]["c_proj"]["w"].astype(x.dtype),
+                  precision=jax.lax.Precision.HIGHEST) \
+        + blk["mlp"]["c_proj"]["b"].astype(x.dtype)
+    return x + out
