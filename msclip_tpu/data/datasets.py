@@ -32,11 +32,28 @@ def _load_image(path):
 
 class ImageFolderDataset:
     """torchvision-``ImageFolder`` semantics: one subdirectory per class,
-    classes sorted lexicographically, images sorted within class."""
+    classes sorted lexicographically, images sorted within class.
 
-    def __init__(self, root: str, transform: Optional[Callable] = None):
+    ``native=True`` (or env ``MSCLIP_NATIVE_DECODE=1``) routes JPEG samples
+    through the C++ decode/resample/normalize pipeline
+    (``msclip_tpu.native``); non-JPEG files or native failures fall back to
+    the PIL transform. Only valid with the default eval transform (the
+    native path hard-codes its semantics)."""
+
+    def __init__(self, root: str, transform: Optional[Callable] = None,
+                 native: Optional[bool] = None, image_size: int = 224,
+                 mean=None, std=None):
+        from .transforms import IMAGENET_MEAN, IMAGENET_STD
+
         self.root = root
         self.transform = transform or pil_eval_transform
+        if native is None:
+            native = (transform is None
+                      and os.environ.get("MSCLIP_NATIVE_DECODE") == "1")
+        self.native = bool(native) and transform is None
+        self.image_size = image_size
+        self.mean = tuple(mean) if mean is not None else IMAGENET_MEAN
+        self.std = tuple(std) if std is not None else IMAGENET_STD
         classes = sorted(
             d for d in os.listdir(root)
             if os.path.isdir(os.path.join(root, d))
@@ -56,6 +73,14 @@ class ImageFolderDataset:
 
     def __getitem__(self, i):
         path, label = self.samples[i]
+        if self.native:
+            from .. import native as N
+
+            with open(path, "rb") as f:
+                data = f.read()
+            img = N.decode_eval(data, self.image_size, self.mean, self.std)
+            if img is not None:
+                return img, label
         return self.transform(_load_image(path)), label
 
 

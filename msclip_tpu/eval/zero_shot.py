@@ -72,6 +72,10 @@ def make_dataset(config, transform=None):
     )
     from ..data.transforms import pil_eval_transform
 
+    # native C++ decode path (msclip_tpu.native): only for ImageFolder with
+    # the default eval transform semantics; honors the config's size/stats
+    use_native = (transform is None
+                  and os.environ.get("MSCLIP_NATIVE_DECODE") == "1")
     if transform is None:
         transform = functools.partial(
             pil_eval_transform,
@@ -95,9 +99,14 @@ def make_dataset(config, transform=None):
             size=config.TEST.IMAGE_SIZE[0],
             n_classes=config.DATASET.get("NUM_CLASSES", 1000),
         )
-    return ImageFolderDataset(
-        os.path.join(root, config.DATASET.TEST_SET), transform=transform
-    )
+    folder = os.path.join(root, config.DATASET.TEST_SET)
+    if use_native:
+        return ImageFolderDataset(
+            folder, native=True,
+            image_size=config.TEST.IMAGE_SIZE[0],
+            mean=tuple(config.INPUT.MEAN), std=tuple(config.INPUT.STD),
+        )
+    return ImageFolderDataset(folder, transform=transform)
 
 
 def _consume(pending, metric, top1, all_logits, all_y):

@@ -1,0 +1,120 @@
+"""Native C++ image pipeline vs the PIL parity transform.
+
+The native path reimplements PIL's separable bicubic resampling
+(coefficients, uint8 two-pass clipping) on top of the system libjpeg;
+JPEG IDCT rounding differs slightly between decoders, so comparisons are
+tolerance-based on the normalized output.
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from msclip_tpu import native as N
+from msclip_tpu.data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    pil_eval_transform,
+)
+
+pytestmark = pytest.mark.skipif(
+    not N.native_available(),
+    reason=f"native pipeline unavailable: {N.build_error()}",
+)
+
+
+def _jpeg_bytes(w, h, seed=0, quality=95):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    # smooth low-frequency content so JPEG round-trip noise stays small
+    small = rng.integers(0, 256, (h // 8 + 1, w // 8 + 1, 3), np.uint8)
+    img = Image.fromarray(small, "RGB").resize((w, h), Image.BILINEAR)
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("wh", [(320, 240), (240, 320), (224, 224),
+                                (1024, 768), (100, 400)])
+def test_eval_matches_pil(wh):
+    from PIL import Image
+
+    data = _jpeg_bytes(*wh, seed=sum(wh))
+    got = N.decode_eval(data, 224, IMAGENET_MEAN, IMAGENET_STD)
+    assert got is not None and got.shape == (224, 224, 3)
+    ref = pil_eval_transform(Image.open(io.BytesIO(data)))
+    # units: normalized (x/255 - mean)/std; 1/255 quantum is ~0.017-0.02
+    diff = np.abs(got - ref)
+    assert diff.mean() < 0.02, diff.mean()
+    assert np.quantile(diff, 0.999) < 0.15
+
+
+def test_grayscale_jpeg():
+    from PIL import Image
+
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 256, (64, 80), np.uint8), "L"
+    )
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=95)
+    got = N.decode_eval(buf.getvalue(), 224, IMAGENET_MEAN, IMAGENET_STD)
+    assert got is not None
+    ref = pil_eval_transform(Image.open(io.BytesIO(buf.getvalue())))
+    assert np.abs(got - ref).mean() < 0.03
+
+
+def test_batch_api_and_fallback():
+    datas = [_jpeg_bytes(120, 90, seed=i) for i in range(6)]
+    datas[3] = b"\x89PNG not a jpeg"
+    datas[5] = b"\xff\xd8corrupted jpeg data"
+    out, ok = N.decode_eval_batch(datas, 224, IMAGENET_MEAN, IMAGENET_STD,
+                                  n_threads=4)
+    assert out.shape == (6, 224, 224, 3)
+    assert list(ok) == [True, True, True, False, True, False]
+    for i in (0, 1, 2, 4):
+        single = N.decode_eval(datas[i], 224, IMAGENET_MEAN, IMAGENET_STD)
+        np.testing.assert_array_equal(out[i], single)
+    assert not out[3].any() and not out[5].any()
+
+
+def test_decode_train_deterministic_and_valid():
+    data = _jpeg_bytes(300, 200, seed=7)
+    a = N.decode_train(data, 224, IMAGENET_MEAN, IMAGENET_STD, seed=42)
+    b = N.decode_train(data, 224, IMAGENET_MEAN, IMAGENET_STD, seed=42)
+    c = N.decode_train(data, 224, IMAGENET_MEAN, IMAGENET_STD, seed=43)
+    assert a is not None and a.shape == (224, 224, 3)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0  # different seed, different crop
+    # values stay in the normalized range of uint8 inputs
+    lo = (0.0 - max(IMAGENET_MEAN)) / min(IMAGENET_STD)
+    hi = (1.0 - min(IMAGENET_MEAN)) / min(IMAGENET_STD)
+    assert a.min() >= lo - 1e-5 and a.max() <= hi + 1e-5
+
+
+def test_image_folder_native_path(tmp_path):
+    from PIL import Image
+
+    from msclip_tpu.data.datasets import ImageFolderDataset
+
+    for cls in ("a", "b"):
+        os.makedirs(tmp_path / cls)
+    for i in range(2):
+        with open(tmp_path / "a" / f"x{i}.jpg", "wb") as f:
+            f.write(_jpeg_bytes(100, 80, seed=i))
+    # one non-JPEG to exercise the PIL fallback inside the native dataset
+    Image.fromarray(
+        np.zeros((50, 60, 3), np.uint8), "RGB"
+    ).save(tmp_path / "b" / "y.png")
+
+    ds_native = ImageFolderDataset(str(tmp_path), native=True)
+    ds_pil = ImageFolderDataset(str(tmp_path))
+    assert len(ds_native) == 3
+    for i in range(3):
+        img_n, lbl_n = ds_native[i]
+        img_p, lbl_p = ds_pil[i]
+        assert lbl_n == lbl_p
+        assert img_n.shape == img_p.shape == (224, 224, 3)
+        assert np.abs(img_n - img_p).mean() < 0.03
