@@ -60,20 +60,33 @@ def main():
         jax.random.PRNGKey(1), (spec.embed_dim, n_classes), jnp.bfloat16
     )
 
+    from msclip_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
     @jax.jit
     def eval_many(params, classifier, key):
         """n_iters eval batches chained in ONE dispatch (lax.scan), so the
         host<->device round-trip (tens of ms over remote tunnels) is paid
         once, not per batch. Returns one scalar; fetching it is the
         completion barrier (block_until_ready is unreliable over tunnels).
+
+        Input arrives as uint8 and is normalized on device — the
+        production pipeline (host decodes JPEGs to uint8, device does
+        /255-mean-std; BASELINE.json north star), so the per-batch HBM
+        input traffic matches deployment (38.5 MB of uint8, not a 154 MB
+        fp32 copy).
         """
 
-        base = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
+        base = jax.random.randint(
+            key, (batch, 224, 224, 3), 0, 256, jnp.uint8
+        )
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
 
         def body(carry, i):
             # cheap per-step perturbation defeats CSE without adding
             # measurable work
-            images = base + i.astype(jnp.float32) * 1e-6
+            images_u8 = base + i.astype(jnp.uint8)
+            images = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
             feats = model.encode_image(params, images)
             logits = 100.0 * feats @ classifier.astype(feats.dtype)
             top1 = jnp.argmax(logits, axis=-1).astype(jnp.int32).sum()
@@ -101,7 +114,8 @@ def main():
             {
                 "metric": (
                     f"zero-shot eval throughput, MS-CLIP-S {model_yaml} "
-                    "@224 bf16 (encode_image + 1k-class logits)"
+                    "@224 bf16 (uint8 in, device normalize, "
+                    "encode_image + 1k-class logits)"
                 ),
                 "value": round(ips, 1),
                 "unit": "images/sec/chip",
