@@ -18,10 +18,63 @@ from typing import Iterator
 import numpy as np
 
 
+def sampler_order(n: int, sampler: str = "default", *, shuffle=False,
+                  seed=0, labels=None, chunk_size: int = 256):
+    """Sample-order generators for the ``DATASET.SAMPLER`` options the
+    reference config tree exposes (``lib/config/default.py:74``; the
+    implementations themselves are not in the released reference).
+
+    * ``default``     — identity, optionally shuffled.
+    * ``class_aware`` — rebalanced: each slot draws a class uniformly,
+      then the next instance of that class (per-class shuffled cursors) —
+      the standard class-aware sampler for long-tailed data.
+    * ``chunk``       — shuffle chunk order but keep intra-chunk order:
+      randomized epochs that preserve sequential-IO locality for
+      TSV/shard-backed datasets.
+    """
+    rng = np.random.default_rng(seed)
+    if sampler in ("default", "", None):
+        order = np.arange(n)
+        if shuffle:
+            rng.shuffle(order)
+        return order
+    if sampler == "class_aware":
+        if labels is None:
+            raise ValueError(
+                "class_aware sampler needs per-sample class labels; this "
+                "dataset exposes none (image-text pair datasets have no "
+                "classes — use DATASET.SAMPLER 'default' or 'chunk')"
+            )
+        labels = np.asarray(labels)
+        classes = np.unique(labels)
+        per_class = {c: rng.permutation(np.flatnonzero(labels == c))
+                     for c in classes}
+        cursors = {c: 0 for c in classes}
+        draws = rng.choice(classes, size=n)
+        out = np.empty(n, np.int64)
+        for i, c in enumerate(draws):
+            pool = per_class[c]
+            if cursors[c] == len(pool):  # reshuffle exhausted class
+                per_class[c] = pool = rng.permutation(pool)
+                cursors[c] = 0
+            out[i] = pool[cursors[c]]
+            cursors[c] += 1
+        return out
+    if sampler == "chunk":
+        order = np.arange(n)
+        n_chunks = (n + chunk_size - 1) // chunk_size
+        chunks = [order[i * chunk_size:(i + 1) * chunk_size]
+                  for i in range(n_chunks)]
+        rng.shuffle(chunks)
+        return np.concatenate(chunks) if chunks else order
+    raise ValueError(f"unknown sampler: {sampler!r}")
+
+
 class BatchLoader:
     def __init__(self, dataset, batch_size: int, workers: int = 8,
                  prefetch: int = 4, shuffle: bool = False, seed: int = 0,
-                 drop_last: bool = False, shard: tuple = (0, 1)):
+                 drop_last: bool = False, shard: tuple = (0, 1),
+                 sampler: str = "default", chunk_size: int = 256):
         self.dataset = dataset
         self.batch_size = batch_size
         self.workers = max(workers, 1)
@@ -31,11 +84,23 @@ class BatchLoader:
         self.drop_last = drop_last
         # (rank, world): striped multi-process sharding of the sample order
         self.shard = shard
+        self.sampler = sampler or "default"
+        self.chunk_size = chunk_size
+
+    def _labels(self):
+        samples = getattr(self.dataset, "samples", None)
+        if samples is not None and samples and isinstance(
+            samples[0], (tuple, list)
+        ):
+            return [s[1] for s in samples]
+        return None
 
     def _order(self):
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.default_rng(self.seed).shuffle(order)
+        order = sampler_order(
+            len(self.dataset), self.sampler, shuffle=self.shuffle,
+            seed=self.seed, labels=self._labels(),
+            chunk_size=self.chunk_size,
+        )
         rank, world = self.shard
         return order[rank::world] if world > 1 else order
 

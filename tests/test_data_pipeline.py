@@ -127,3 +127,61 @@ def test_tsv_pair_dataset(tmp_path):
     img, tokens = ds[0]
     assert img.shape == (224, 224, 3)
     assert tokens[0] == 49406
+
+
+def test_sampler_orders():
+    """DATASET.SAMPLER options (reference lib/config/default.py:74):
+    class_aware rebalances long-tailed labels; chunk preserves intra-chunk
+    order while shuffling chunk order."""
+    import numpy as np
+
+    from msclip_tpu.data.loader import sampler_order
+
+    # default: permutation
+    o = sampler_order(100, "default", shuffle=True, seed=1)
+    assert sorted(o) == list(range(100))
+
+    # class_aware: heavily imbalanced labels come out ~uniform per class
+    labels = np.array([0] * 90 + [1] * 10)
+    o = sampler_order(1000, "class_aware", seed=0, labels=labels)
+    frac1 = np.mean(labels[o] == 1)
+    assert 0.4 < frac1 < 0.6, frac1
+    assert o.min() >= 0 and o.max() < 100
+
+    # chunk: every chunk appears contiguously, in-order
+    o = sampler_order(100, "chunk", seed=3, chunk_size=10)
+    assert sorted(o) == list(range(100))
+    chunks = [o[i * 10:(i + 1) * 10] for i in range(10)]
+    for c in chunks:
+        assert c[0] % 10 == 0 and list(c) == list(range(c[0], c[0] + 10))
+    assert any(o[0] != 0 for o in [o])  # chunk order shuffled (seed 3)
+
+    # unknown sampler raises, class_aware without labels raises
+    import pytest
+
+    with pytest.raises(ValueError):
+        sampler_order(10, "nope")
+    with pytest.raises(ValueError):
+        sampler_order(10, "class_aware")
+
+
+def test_batchloader_sampler_integration(tmp_path):
+    import numpy as np
+
+    from msclip_tpu.data.loader import BatchLoader
+
+    class DS:
+        samples = [(f"p{i}", i % 3) for i in range(30)]
+
+        def __len__(self):
+            return 30
+
+        def __getitem__(self, i):
+            return np.full((2, 2, 3), i, np.float32), self.samples[i][1]
+
+    batches = list(BatchLoader(DS(), 10, workers=2, sampler="class_aware",
+                               seed=0))
+    assert len(batches) == 3
+    labels = np.concatenate([b["label"] for b in batches])
+    counts = np.bincount(labels, minlength=3)
+    assert counts.min() >= 5  # roughly balanced draws

@@ -60,7 +60,7 @@ def main():
     per_process_batch = global_batch // jax.process_count()
     loader = BatchLoaderPairs(
         dataset, per_process_batch, workers=config.WORKERS,
-        shuffle=config.TRAIN.SHUFFLE,
+        shuffle=config.TRAIN.SHUFFLE, sampler=config.DATASET.SAMPLER,
     )
     steps_per_epoch = max(len(dataset) // global_batch, 1)
 
@@ -139,10 +139,12 @@ class BatchLoaderPairs(BatchLoader):
     fixed global-batch training; each host process loads its stripe of the
     dataset (multi-host data parallelism)."""
 
-    def __init__(self, dataset, batch_size, workers=8, shuffle=True, seed=0):
+    def __init__(self, dataset, batch_size, workers=8, shuffle=True, seed=0,
+                 sampler="default"):
         super().__init__(dataset, batch_size, workers=workers,
                          shuffle=shuffle, seed=seed, drop_last=True,
-                         shard=(jax.process_index(), jax.process_count()))
+                         shard=(jax.process_index(), jax.process_count()),
+                         sampler=sampler)
 
     def __iter__(self):
         for batch in super().__iter__():
