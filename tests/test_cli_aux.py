@@ -1,0 +1,96 @@
+"""End-to-end CLI tests for the auxiliary tools (feature extraction,
+finetune) and the deepspeed config export — the rows PARITY.md previously
+covered only by smoke."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_OPTS = [
+    "TRAIN.IMAGE_SIZE", "[64,64]", "TEST.IMAGE_SIZE", "[64,64]",
+    "TEST.BATCH_SIZE_PER_GPU", "4",
+    "MODEL.SPEC.VISION.WIDTH", "128", "MODEL.SPEC.VISION.LAYERS", "2",
+    "MODEL.SPEC.VISION.PATCH_SIZE", "32",
+    "MODEL.SPEC.TEXT.WIDTH", "128", "MODEL.SPEC.TEXT.HEADS", "2",
+    "MODEL.SPEC.TEXT.LAYERS", "2", "MODEL.SPEC.EMBED_DIM", "32",
+    "WORKERS", "2",
+]
+
+
+@pytest.fixture(scope="module")
+def imagefolder(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("val")
+    rng = np.random.default_rng(0)
+    for cls in ("n01440764", "n01443537"):
+        (root / cls).mkdir()
+        for i in range(4):
+            arr = (rng.random((80, 100, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(root / cls / f"{cls}_{i}.JPEG")
+    return root
+
+
+def _run(cmd, cwd=REPO):
+    env = dict(os.environ)
+    env["MSCLIP_PLATFORM"] = "cpu"
+    return subprocess.run(
+        [sys.executable] + cmd, cwd=cwd, capture_output=True, text=True,
+        env=env, timeout=600,
+    )
+
+
+def test_extract_features_cli(imagefolder, tmp_path):
+    out = tmp_path / "feats.npz"
+    r = _run([
+        "tools/extract_features.py",
+        "--ds", "experiments/dataset/imagenet.yaml",
+        "--model", "experiments/model/b32.yaml",
+        "--out", str(out),
+        "DATASET.ROOT", str(imagefolder.parent),
+        "DATASET.TEST_SET", imagefolder.name,
+        "OUTPUT_DIR", str(tmp_path / "o"),
+    ] + TINY_OPTS)
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = np.load(out)
+    feats, labels = data["features"], data["labels"]
+    assert feats.shape == (8, 32) and labels.shape == (8,)
+    # L2-normalized rows
+    np.testing.assert_allclose(
+        np.linalg.norm(feats, axis=-1), 1.0, atol=1e-3
+    )
+    assert set(labels.tolist()) == {0, 1}
+
+
+def test_finetune_cli(imagefolder, tmp_path):
+    r = _run([
+        "tools/finetune.py",
+        "--ds", "experiments/dataset/imagenet.yaml",
+        "--model", "experiments/model/b32.yaml",
+        "DATASET.ROOT", str(imagefolder.parent),
+        "DATASET.TEST_SET", imagefolder.name,
+        "OUTPUT_DIR", str(tmp_path / "o"),
+        "TRAIN.END_EPOCH", "1",
+        "FINETUNE.BATCH_SIZE", "4",
+        "DATASET.NUM_CLASSES", "2",
+    ] + TINY_OPTS)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "finetune" in (r.stdout + r.stderr).lower()
+
+
+def test_export_deepspeed_config(tmp_path):
+    from msclip_tpu.config import get_default_config
+    from msclip_tpu.config.io import export_deepspeed_config
+
+    cfg = get_default_config()
+    path = tmp_path / "ds.json"
+    export_deepspeed_config(cfg, total_batch=512, path=str(path))
+    with open(path) as f:
+        data = json.load(f)
+    assert data["train_batch_size"] == 512
