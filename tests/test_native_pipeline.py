@@ -85,7 +85,13 @@ def test_decode_train_deterministic_and_valid():
     a = N.decode_train(data, 224, IMAGENET_MEAN, IMAGENET_STD, seed=42)
     b = N.decode_train(data, 224, IMAGENET_MEAN, IMAGENET_STD, seed=42)
     c = N.decode_train(data, 224, IMAGENET_MEAN, IMAGENET_STD, seed=43)
-    assert a is not None and a.shape == (224, 224, 3)
+    assert a is not None, (
+        f"native decode_train returned None (decode failure); "
+        f"native_available={N.native_available()} build_error="
+        f"{N.build_error()} is_jpeg={N.is_jpeg(data)} len={len(data)}"
+    )
+    assert a.shape == (224, 224, 3)
+    assert b is not None and c is not None
     np.testing.assert_array_equal(a, b)
     assert np.abs(a - c).max() > 0  # different seed, different crop
     # values stay in the normalized range of uint8 inputs
