@@ -170,7 +170,9 @@ def get_default_config() -> CfgNode:
     c.TPU.MESH_DATA = -1              # -1: all devices on the data axis
     c.TPU.MESH_MODEL = 1              # tensor-parallel axis size
     c.TPU.SHARDED_LOSS = False        # chunked global-batch InfoNCE
+    c.TPU.LOSS_CHUNK = 4096           # column-block size of the sharded loss
     c.TPU.REMAT = False               # jax.checkpoint on trunk blocks
+    c.TPU.SEED = 0                    # rng seed: init, DropPath, loaders
 
     return c
 

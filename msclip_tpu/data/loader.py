@@ -86,6 +86,15 @@ class BatchLoader:
         self.shard = shard
         self.sampler = sampler or "default"
         self.chunk_size = chunk_size
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch used to derive the shuffle seed (the analogue of
+        ``DistributedSampler.set_epoch``). Without explicit calls, every
+        completed ``__iter__`` advances the epoch by one, so plain
+        ``for epoch: for batch in loader`` reshuffles per epoch like
+        ``DataLoader(shuffle=True)`` does."""
+        self._epoch = int(epoch)
 
     def _labels(self):
         samples = getattr(self.dataset, "samples", None)
@@ -98,7 +107,7 @@ class BatchLoader:
     def _order(self):
         order = sampler_order(
             len(self.dataset), self.sampler, shuffle=self.shuffle,
-            seed=self.seed, labels=self._labels(),
+            seed=self.seed + self._epoch, labels=self._labels(),
             chunk_size=self.chunk_size,
         )
         rank, world = self.shard
@@ -112,6 +121,7 @@ class BatchLoader:
 
     def __iter__(self) -> Iterator[dict]:
         order = self._order()
+        self._epoch += 1  # next bare __iter__ reshuffles (see set_epoch)
         n_batches = len(self)
         batches = [
             order[i * self.batch_size : (i + 1) * self.batch_size]

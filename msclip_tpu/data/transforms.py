@@ -31,11 +31,13 @@ def pil_eval_transform(image, size: int = 224,
     if image.mode != "RGB":
         image = image.convert("RGB")
     w, h = image.size
-    # torchvision Resize(size): scale the SHORT side to `size`
+    # torchvision Resize(size): scale the SHORT side to `size`; the long
+    # side TRUNCATES (int(size * long / short)), it does not round —
+    # torchvision 0.7 functional.resize semantics, parity-critical.
     if w <= h:
-        new_w, new_h = size, max(int(round(size * h / w)), size)
+        new_w, new_h = size, int(size * h / w)
     else:
-        new_w, new_h = max(int(round(size * w / h)), size), size
+        new_w, new_h = int(size * w / h), size
     image = image.resize((new_w, new_h), Image.BICUBIC)
     # torchvision CenterCrop
     left = int(round((new_w - size) / 2.0))
@@ -63,10 +65,9 @@ def device_preprocess(images_u8, size: int = 224,
 
     x = images_u8.astype(jnp.float32) / 255.0
     B, H, W, C = x.shape
-    scale = size / min(H, W)
-    new_h, new_w = max(int(round(H * scale)), size), max(
-        int(round(W * scale)), size
-    )
+    # same long-side truncation as pil_eval_transform / torchvision
+    new_h = size if H <= W else int(size * H / W)
+    new_w = size if W <= H else int(size * W / H)
     x = jax.image.resize(x, (B, new_h, new_w, C), "bicubic",
                          antialias=antialias)
     # torchvision CenterCrop rounds .5 up
@@ -101,17 +102,23 @@ def mixup_cutmix(key, images, labels, n_classes, mixup_alpha=0.0,
     y1 = jax.nn.one_hot(labels, n_classes) * (on - off) + off
     y2 = y1[perm]
 
-    use_cutmix = (
-        cutmix_alpha > 0.0
-        and (mixup_alpha == 0.0
-             or bool(jax.random.bernoulli(k1, switch_prob)))
-    )
-    alpha = cutmix_alpha if use_cutmix else mixup_alpha
-    if alpha <= 0.0:
+    # Which modes are configured is static (python floats); WHICH one fires
+    # on a given batch is a per-call device-side draw, so when both are on
+    # the switch must stay traceable: compute both branches and select with
+    # jnp.where (aug cost is negligible next to the model step).
+    do_mixup = mixup_alpha > 0.0
+    do_cutmix = cutmix_alpha > 0.0
+    if not do_mixup and not do_cutmix:
         return images, y1
-    lam = jax.random.beta(k2, alpha, alpha)
 
-    if use_cutmix:
+    def _mixup():
+        lam = jax.random.beta(k2, mixup_alpha, mixup_alpha)
+        return lam * images + (1.0 - lam) * images[perm], lam
+
+    def _cutmix():
+        lam = jax.random.beta(
+            jax.random.fold_in(k2, 1), cutmix_alpha, cutmix_alpha
+        )
         H, W = images.shape[1:3]
         ratio = jnp.sqrt(1.0 - lam)
         cut_h = (H * ratio).astype(jnp.int32)
@@ -127,50 +134,118 @@ def mixup_cutmix(key, images, labels, n_classes, mixup_alpha=0.0,
         in_box = (yy >= y0) & (yy < y1_) & (xx >= x0) & (xx < x1_)
         mixed = jnp.where(in_box, images[perm], images)
         lam_eff = 1.0 - ((y1_ - y0) * (x1_ - x0)) / (H * W)
+        return mixed, lam_eff
+
+    if do_mixup and do_cutmix:
+        use_cut = jax.random.bernoulli(k1, switch_prob)
+        m_img, m_lam = _mixup()
+        c_img, c_lam = _cutmix()
+        mixed = jnp.where(use_cut, c_img, m_img)
+        lam_eff = jnp.where(use_cut, c_lam, m_lam)
+    elif do_cutmix:
+        mixed, lam_eff = _cutmix()
     else:
-        mixed = lam * images + (1.0 - lam) * images[perm]
-        lam_eff = lam
+        mixed, lam_eff = _mixup()
     soft = lam_eff * y1 + (1.0 - lam_eff) * y2
     return mixed, soft
+
+
+def random_resized_crop_params(key, B: int, H: int, W: int,
+                               scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """torchvision ``RandomResizedCrop.get_params`` semantics, vectorized:
+    10 independent attempts per sample, take the FIRST whose integer crop
+    box fits; otherwise fall back to the ratio-clamped center crop.
+    Returns int32 arrays ``(y0, x0, ch, cw)`` of shape [B]."""
+    import jax
+    import jax.numpy as jnp
+
+    k_area, k_ratio, k_y, k_x = jax.random.split(key, 4)
+    ta = H * W * jax.random.uniform(
+        k_area, (B, 10), minval=scale[0], maxval=scale[1]
+    )
+    log_r = jax.random.uniform(
+        k_ratio, (B, 10),
+        minval=float(np.log(ratio[0])), maxval=float(np.log(ratio[1])),
+    )
+    aspect = jnp.exp(log_r)
+    cw = jnp.round(jnp.sqrt(ta * aspect)).astype(jnp.int32)
+    ch = jnp.round(jnp.sqrt(ta / aspect)).astype(jnp.int32)
+    valid = (cw > 0) & (cw <= W) & (ch > 0) & (ch <= H)
+    first = jnp.argmax(valid, axis=1)  # first True (or 0 if none)
+    any_valid = valid.any(axis=1)
+    rows = jnp.arange(B)
+    cw, ch = cw[rows, first], ch[rows, first]
+
+    # fallback box (static: H, W, ratio are python values)
+    in_ratio = W / H
+    if in_ratio < ratio[0]:
+        fw, fh = W, int(round(W / ratio[0]))
+    elif in_ratio > ratio[1]:
+        fh, fw = H, int(round(H * ratio[1]))
+    else:
+        fw, fh = W, H
+    cw = jnp.where(any_valid, cw, fw)
+    ch = jnp.where(any_valid, ch, fh)
+    y0 = jax.random.randint(k_y, (B,), 0, H - ch + 1)
+    x0 = jax.random.randint(k_x, (B,), 0, W - cw + 1)
+    y0 = jnp.where(any_valid, y0, (H - fh) // 2)
+    x0 = jnp.where(any_valid, x0, (W - fw) // 2)
+    return y0, x0, ch, cw
+
+
+def bilinear_crop_resize(img, y0, x0, ch, cw, size: int):
+    """Variable crop box -> fixed [size, size, C] by bilinear sampling
+    (align_corners=False grid: src = (dst + 0.5) * crop/size - 0.5, edges
+    clamped to the crop box — torchvision tensor-backend resize
+    semantics; per-sample crop sizes are traced, so the kernel support of
+    an antialiased resample cannot be static — sampling bilinear is the
+    jit-compatible choice)."""
+    import jax.numpy as jnp
+
+    H = img.shape[0]
+    W = img.shape[1]
+    ys = y0 + (jnp.arange(size) + 0.5) * (ch / size) - 0.5
+    xs = x0 + (jnp.arange(size) + 0.5) * (cw / size) - 0.5
+    ys = jnp.clip(ys, y0, y0 + ch - 1)
+    xs = jnp.clip(xs, x0, x0 + cw - 1)
+    yf, xf = jnp.floor(ys), jnp.floor(xs)
+    wy = (ys - yf)[:, None, None]
+    wx = (xs - xf)[None, :, None]
+    yi0 = jnp.clip(yf.astype(jnp.int32), 0, H - 1)
+    xi0 = jnp.clip(xf.astype(jnp.int32), 0, W - 1)
+    yi1 = jnp.minimum(yi0 + 1, jnp.minimum(y0 + ch - 1, H - 1))
+    xi1 = jnp.minimum(xi0 + 1, jnp.minimum(x0 + cw - 1, W - 1))
+    top = img[yi0][:, xi0] * (1 - wx) + img[yi0][:, xi1] * wx
+    bot = img[yi1][:, xi0] * (1 - wx) + img[yi1][:, xi1] * wx
+    return top * (1 - wy) + bot * wy
 
 
 def train_augment(key, images_u8, size: int = 224,
                   mean=IMAGENET_MEAN, std=IMAGENET_STD,
                   scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
-    """Device-side RandomResizedCrop + horizontal flip + normalize.
+    """Device-side RandomResizedCrop(bilinear) + horizontal flip +
+    normalize.
 
     The jit-compiled training-augmentation equivalent of the torchvision
-    pipeline configured by ``AUG.*`` (``lib/config/default.py:88-107``).
+    pipeline configured by ``AUG.*`` (``lib/config/default.py:88-107``):
+    crop-box sampling follows ``RandomResizedCrop.get_params`` (10
+    attempts + ratio-clamped center fallback) and the resample is bilinear
+    (not nearest); every stochastic draw uses its own split key.
     """
     import jax
     import jax.numpy as jnp
 
     B, H, W, C = images_u8.shape
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k_crop, k_flip = jax.random.split(key)
     x = images_u8.astype(jnp.float32) / 255.0
 
-    area = H * W * jax.random.uniform(
-        k1, (B,), minval=scale[0], maxval=scale[1]
+    y0, x0, ch, cw = random_resized_crop_params(
+        k_crop, B, H, W, scale=scale, ratio=ratio
     )
-    log_ratio = jax.random.uniform(
-        k2, (B,),
-        minval=jnp.log(jnp.asarray(ratio[0])),
-        maxval=jnp.log(jnp.asarray(ratio[1])),
-    )
-    aspect = jnp.exp(log_ratio)
-    cw = jnp.clip(jnp.sqrt(area * aspect), 8, W).astype(jnp.int32)
-    ch = jnp.clip(jnp.sqrt(area / aspect), 8, H).astype(jnp.int32)
-    x0 = (jax.random.uniform(k3, (B,)) * (W - cw)).astype(jnp.int32)
-    y0 = (jax.random.uniform(k4, (B,)) * (H - ch)).astype(jnp.int32)
-
-    def crop_resize(img, y0, x0, ch, cw):
-        # gather-based variable crop + resize to fixed size
-        ys = y0 + (jnp.arange(size) * ch) // size
-        xs = x0 + (jnp.arange(size) * cw) // size
-        return img[ys][:, xs]
-
-    x = jax.vmap(crop_resize)(x, y0, x0, ch, cw)
-    flip = jax.random.bernoulli(k1, 0.5, (B,))
+    x = jax.vmap(
+        lambda im, a, b, c, d: bilinear_crop_resize(im, a, b, c, d, size)
+    )(x, y0, x0, ch, cw)
+    flip = jax.random.bernoulli(k_flip, 0.5, (B,))
     x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
     mean_a = jnp.asarray(mean, jnp.float32)
     std_a = jnp.asarray(std, jnp.float32)

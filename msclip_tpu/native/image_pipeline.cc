@@ -214,18 +214,16 @@ int decode_eval_impl(const uint8_t* data, size_t len, int size,
   std::vector<uint8_t> img;
   int w, h;
   if (!decode_jpeg(data, len, &img, &w, &h)) return 1;
-  // torchvision Resize(size): short side -> size
+  // torchvision Resize(size): short side -> size; the long side
+  // TRUNCATES (int(size * long / short)) — torchvision 0.7 semantics,
+  // must match pil_eval_transform exactly.
   int nw, nh;
   if (w <= h) {
     nw = size;
-    nh = std::max(static_cast<int>(std::lround(
-                      static_cast<double>(size) * h / w)),
-                  size);
+    nh = static_cast<int>(static_cast<double>(size) * h / w);
   } else {
     nh = size;
-    nw = std::max(static_cast<int>(std::lround(
-                      static_cast<double>(size) * w / h)),
-                  size);
+    nw = static_cast<int>(static_cast<double>(size) * w / h);
   }
   std::vector<uint8_t> resized = resample(img.data(), w, h, 0, 0, w, h,
                                           nw, nh);

@@ -48,7 +48,8 @@ def infonce_loss(feats_img, feats_txt, logit_scale, label_smoothing=0.0):
                   + _ce(logits.T, labels, label_smoothing))
 
 
-def sharded_infonce_loss(feats_img, feats_txt, logit_scale, axis_name="data"):
+def sharded_infonce_loss(feats_img, feats_txt, logit_scale, axis_name="data",
+                         label_smoothing=0.0):
     """InfoNCE inside shard_map: per-chip ``[b, B_global]`` logit blocks.
 
     feats_img/feats_txt: this chip's ``[b, E]`` shard (L2-normalized).
@@ -71,17 +72,25 @@ def sharded_infonce_loss(feats_img, feats_txt, logit_scale, axis_name="data"):
         feats_txt.astype(jnp.float32), img_all.astype(jnp.float32).T,
         precision=jax.lax.Precision.HIGHEST,
     )
-    loss = 0.5 * (_ce(logits_i2t, labels) + _ce(logits_t2i, labels))
+    loss = 0.5 * (_ce(logits_i2t, labels, label_smoothing)
+                  + _ce(logits_t2i, labels, label_smoothing))
     # each chip's mean is over its own rows; global loss = mean over chips
     return jax.lax.pmean(loss, axis_name)
 
 
 def chunked_sharded_infonce_loss(feats_img, feats_txt, logit_scale,
-                                 axis_name="data", chunk: int = 4096):
+                                 axis_name="data", chunk: int = 4096,
+                                 label_smoothing=0.0):
     """Like ``sharded_infonce_loss`` but streams the global columns in
-    ``chunk``-sized blocks with an online logsumexp, bounding per-chip logit
+    ``chunk``-sized blocks with an online logsumexp, bounding per-chip LOGIT
     memory at ``2 * b * chunk`` regardless of global batch (the 32k-batch
-    configuration)."""
+    configuration).
+
+    Honest scope: both full ``[B_global, E]`` embedding sets are still
+    all-gathered per chip — only the ``[B, B]`` similarity matrix is
+    chunked away. At E=512 / B=32k that is 64 MB/chip in fp32 (fine);
+    gathered-embedding memory grows linearly with global batch, so a
+    ring-style rotation would be needed far beyond that scale."""
     T = jnp.exp(logit_scale).astype(jnp.float32)
     b = feats_img.shape[0]
     rank = jax.lax.axis_index(axis_name)
@@ -101,7 +110,7 @@ def chunked_sharded_infonce_loss(feats_img, feats_txt, logit_scale,
         rows32 = rows.astype(jnp.float32)
 
         def body(carry, c):
-            m, s, gold = carry
+            m, s, gold, tot = carry
             block = jax.lax.dynamic_slice(
                 cols_all, (c * chunk, 0), (chunk, cols_all.shape[1])
             ).astype(jnp.float32)
@@ -118,18 +127,25 @@ def chunked_sharded_infonce_loss(feats_img, feats_txt, logit_scale,
             # gold logit if this chunk holds the diagonal column
             hit = col_ids[None, :] == labels[:, None]
             gold = gold + jnp.where(hit, logits, 0.0).sum(axis=-1)
-            return (m_new, s, gold), None
+            # running sum of valid logits (label-smoothing mean term)
+            tot = tot + jnp.where(valid, logits, 0.0).sum(axis=-1)
+            return (m_new, s, gold, tot), None
 
         m0 = jnp.full((b,), -jnp.inf, jnp.float32)
         s0 = jnp.zeros((b,), jnp.float32)
         g0 = jnp.zeros((b,), jnp.float32)
+        t0 = jnp.zeros((b,), jnp.float32)
         # mark the carry as varying over the mapped axis (the body mixes in
         # shard-local data, so the output carry is axis-varying)
-        m0, s0, g0 = jax.lax.pvary((m0, s0, g0), (axis_name,))
-        (m, s, gold), _ = jax.lax.scan(
-            body, (m0, s0, g0), jnp.arange(n_chunks)
+        m0, s0, g0, t0 = jax.lax.pvary((m0, s0, g0, t0), (axis_name,))
+        (m, s, gold, tot), _ = jax.lax.scan(
+            body, (m0, s0, g0, t0), jnp.arange(n_chunks)
         )
-        return (m + jnp.log(s) - gold).mean()
+        logz = m + jnp.log(s)
+        # (1-ls)*(logz - gold) + ls*(logz - mean) with mean = tot / B —
+        # identical decomposition to _ce's smoothing term
+        target = (1.0 - label_smoothing) * gold + label_smoothing * (tot / B)
+        return (logz - target).mean()
 
     loss = 0.5 * (direction(feats_img, txt_all)
                   + direction(feats_txt, img_all))

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models import msclip as MM
 from ..models.stem import BNState
@@ -112,6 +112,7 @@ def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096,
                 chunked_sharded_infonce_loss,
                 axis_name=DATA_AXIS,
                 chunk=loss_chunk,
+                label_smoothing=label_smoothing,
             ),
             mesh=mesh,
             in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
@@ -125,18 +126,20 @@ def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096,
 
 def make_train_step(spec, tx, mesh=None, sharded_loss=False,
                     loss_chunk=4096, ema_decay: float = 0.0,
-                    donate: bool = True, label_smoothing: float = 0.0):
+                    donate: bool = True, label_smoothing: float = 0.0,
+                    seed: int = 0):
     """Build the jit-compiled train step.
 
     step(state, images, tokens) -> (state, metrics). The step derives a
-    fresh rng from the step counter for the stochastic training paths.
+    fresh rng from ``seed`` (``TPU.SEED``) and the step counter for the
+    stochastic training paths.
     """
     loss_fn = make_loss_fn(spec, mesh, sharded_loss, loss_chunk,
                            label_smoothing)
     needs_rng = spec.vision_drop_path > 0.0 or spec.ext.gumbel_select
 
     def step_fn(state: TrainState, images, tokens):
-        rng = (jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+        rng = (jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
                if needs_rng else None)
         (loss, bn_updates), grads = jax.value_and_grad(
             loss_fn, has_aux=True

@@ -49,6 +49,38 @@ def test_pil_transform_matches_torchvision_semantics(image_folder):
     assert -3.0 < img.min() and img.max() < 3.0
 
 
+def test_resize_long_side_truncates():
+    """torchvision 0.7 Resize computes the long side as
+    int(size * long / short) — TRUNCATION. A 200x305 image must resample to
+    224x341 (341.6 would round to 342); assert bit-equality with the
+    torchvision-formula oracle built from the same PIL ops."""
+    from PIL import Image
+
+    from msclip_tpu.data.transforms import pil_eval_transform
+
+    w, h = 200, 305  # 224 * 305 / 200 = 341.6 -> trunc 341
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    arr = (127 + 100 * np.sin(xx / 17) * np.cos(yy / 23)).clip(
+        0, 255
+    ).astype(np.uint8)
+    img = Image.fromarray(np.stack([arr] * 3, -1))
+
+    out = pil_eval_transform(img)
+
+    size = 224
+    new_w, new_h = size, int(size * h / w)
+    assert new_h == 341
+    oracle = img.resize((new_w, new_h), Image.BICUBIC)
+    top = int(round((new_h - size) / 2.0))
+    left = int(round((new_w - size) / 2.0))
+    oracle = oracle.crop((left, top, left + size, top + size))
+    o = np.asarray(oracle, np.float32) / 255.0
+    o = (o - np.asarray((0.485, 0.456, 0.406), np.float32)) / np.asarray(
+        (0.229, 0.224, 0.225), np.float32
+    )
+    np.testing.assert_array_equal(out, o)
+
+
 def test_loader_with_real_files(image_folder):
     from msclip_tpu.data.datasets import ImageFolderDataset
     from msclip_tpu.data.loader import BatchLoader
@@ -163,6 +195,38 @@ def test_sampler_orders():
         sampler_order(10, "nope")
     with pytest.raises(ValueError):
         sampler_order(10, "class_aware")
+
+
+def test_batchloader_reshuffles_per_epoch():
+    """Each epoch must see a fresh permutation (reference DataLoader
+    shuffle / DistributedSampler.set_epoch semantics); set_epoch pins it
+    deterministically for resume."""
+    import numpy as np
+
+    from msclip_tpu.data.loader import BatchLoader
+
+    class DS:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return np.full((2, 2, 3), i, np.float32), i
+
+    def epoch_labels(loader):
+        return np.concatenate(
+            [b["label"] for b in loader]
+        ).tolist()
+
+    loader = BatchLoader(DS(), 8, workers=1, shuffle=True, seed=5)
+    e0, e1 = epoch_labels(loader), epoch_labels(loader)
+    assert sorted(e0) == sorted(e1) == list(range(32))
+    assert e0 != e1  # bare re-iteration reshuffles
+
+    # set_epoch pins the order deterministically (resume replays exactly)
+    loader.set_epoch(0)
+    assert epoch_labels(loader) == e0
+    loader.set_epoch(1)
+    assert epoch_labels(loader) == e1
 
 
 def test_batchloader_sampler_integration(tmp_path):

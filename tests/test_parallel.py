@@ -8,7 +8,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from msclip_tpu.parallel import (
     chunked_sharded_infonce_loss,
@@ -77,6 +77,32 @@ def test_sharded_grads_match_global(loss_fn):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)
     # scale grad is pmean'd per chip; equals the global scale grad
     np.testing.assert_allclose(float(got[2]), float(want[2]), rtol=1e-5)
+
+
+@pytest.mark.parametrize("loss_fn", [sharded_infonce_loss,
+                                     chunked_sharded_infonce_loss])
+def test_sharded_label_smoothing_matches_global(loss_fn):
+    """LOSS.LABEL_SMOOTHING parity: both sharded losses must equal the
+    global loss under smoothing (round-1 gap: they dropped the term)."""
+    B, E, ls = 48, 16, 0.1
+    img, txt = _feats(B, E, 6), _feats(B, E, 7)
+    scale = jnp.asarray(0.5)
+    want = infonce_loss(jnp.array(img), jnp.array(txt), scale,
+                        label_smoothing=ls)
+    plain = infonce_loss(jnp.array(img), jnp.array(txt), scale)
+    assert abs(float(want) - float(plain)) > 1e-4  # smoothing does bite
+
+    mesh = create_mesh(data=8, model=1)
+    kwargs = {"chunk": 20} if loss_fn is chunked_sharded_infonce_loss else {}
+    fn = shard_map(
+        lambda i, t, s: loss_fn(i, t, s, axis_name="data",
+                                label_smoothing=ls, **kwargs),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P()),
+        out_specs=P(),
+    )
+    got = fn(jnp.array(img), jnp.array(txt), scale)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
 
 
 def test_chunked_padding_correct():

@@ -93,10 +93,11 @@ def main():
     train_ds = make_dataset(config)  # TEST split stands in when no train
     loader = BatchLoader(
         train_ds, config.FINETUNE.BATCH_SIZE, workers=config.WORKERS,
-        shuffle=True, drop_last=True,
+        shuffle=True, drop_last=True, seed=config.TPU.SEED,
     )
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(config.TPU.SEED)
     for epoch in range(config.TRAIN.BEGIN_EPOCH, config.TRAIN.END_EPOCH):
+        loader.set_epoch(epoch)
         t0, losses = time.time(), []
         for batch in loader:
             key, sub = jax.random.split(key)

@@ -61,11 +61,12 @@ def main():
     loader = BatchLoaderPairs(
         dataset, per_process_batch, workers=config.WORKERS,
         shuffle=config.TRAIN.SHUFFLE, sampler=config.DATASET.SAMPLER,
+        seed=config.TPU.SEED,
     )
     steps_per_epoch = max(len(dataset) // global_batch, 1)
 
     mesh = mesh_from_config(config)
-    params = model.init(jax.random.PRNGKey(0))
+    params = model.init(jax.random.PRNGKey(config.TPU.SEED))
     params = shard_params(params, mesh)
     tx, _ = build_optimizer(config, params, spec, steps_per_epoch)
     state = init_train_state(model, tx, params=params,
@@ -85,7 +86,10 @@ def main():
     step_fn = make_train_step(
         spec, tx, mesh=mesh,
         sharded_loss=config.TPU.SHARDED_LOSS,
+        loss_chunk=config.TPU.LOSS_CHUNK,
         ema_decay=config.TRAIN.EMA_DECAY,
+        label_smoothing=config.LOSS.LABEL_SMOOTHING,
+        seed=config.TPU.SEED,
     )
 
     logging.info(
@@ -94,6 +98,7 @@ def main():
     )
     swa_params, swa_n = None, jnp.asarray(0)
     for epoch in range(begin_epoch, config.TRAIN.END_EPOCH):
+        loader.set_epoch(epoch)  # fresh shuffle/sampler draws per epoch
         t0 = time.time()
         seen = 0
         for i, batch in enumerate(loader):
