@@ -62,8 +62,11 @@ def _is_shared_param(keys, spec) -> bool:
     if keys[:2] != ["visual", "blocks"]:
         return False
     block_i = int(keys[2])
-    # visual.blocks[j] is trunk layer j+1 under early_conv, j otherwise
-    text_layer = block_i + (1 if spec.early_conv else 0)
+    # visual.blocks[j] feeds text layer j + offset — the exact inverse of
+    # resolve_text_block's mapping (stem-in-trunk shifts the params-block
+    # index; VISUAL_LAYER_MINUS1 shifts the text layer)
+    text_layer = block_i + (1 if spec.stem_in_trunk else 0) \
+        + (1 if spec.visual_layer_minus1 else 0)
     if not spec.text_layer_is_shared(text_layer):
         return False
     shared = set(spec.shared_param_keys())

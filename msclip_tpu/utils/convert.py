@@ -21,6 +21,7 @@ Key insights handled (SURVEY.md §5 checkpoint notes):
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Tuple
 
 import jax
@@ -64,9 +65,11 @@ def build_key_map(spec: MSClipSpec) -> Dict[str, Tuple[tuple, callable]]:
     def conv(torch_key, path):
         m[torch_key] = (path + ("w",), _conv_w)
 
-    def block(torch_prefix, path, shared_absent=()):
+    def block(torch_prefix, path, shared_absent=(), alias_base=None):
         """A ResidualAttentionBlock; ``shared_absent`` lists param keys that
-        are not stored at this path (they alias the visual trunk)."""
+        are not stored at this path (they alias the visual trunk).
+        ``alias_base``: params path of the visual block those keys alias —
+        recorded so the converter can verify the duplicate copies match."""
         entries = {
             "attn.qkv_w": (f"{torch_prefix}.attn.in_proj_weight",
                            path + ("attn", "qkv_w"), _linear_w),
@@ -87,7 +90,10 @@ def build_key_map(spec: MSClipSpec) -> Dict[str, Tuple[tuple, callable]]:
         }
         for name, (tk, pth, fn) in entries.items():
             if name in shared_absent:
-                m[tk] = (None, fn)  # consumed + verified, not stored
+                # consumed + verified against the visual copy, not stored
+                suffix = pth[len(path):]
+                target = alias_base + suffix if alias_base else None
+                m[tk] = (None, fn, target)
             else:
                 m[tk] = (pth, fn)
         ln(f"{torch_prefix}.ln_1", path + ("ln_1",))
@@ -389,8 +395,12 @@ def _map_text(m, spec, ln, lin, conv_pool, block, sharing_active,
         conv_pool("conv_pool", T + ("conv_pool",))
 
     shared_keys = set(spec.shared_param_keys())
+    # text block i consumes visual params-block i - offset
+    # (resolve_text_block's inverse mapping)
+    offset = (1 if spec.visual_layer_minus1 else 0) \
+        + (1 if spec.stem_in_trunk else 0)
     for i in range(spec.text_layers):
-        absent = ()
+        absent, alias_base = (), None
         if sharing_active and spec.text_layer_is_shared(i):
             absent = tuple(
                 n for n in ("attn.qkv_w", "attn.qkv_b", "attn.out_w",
@@ -400,8 +410,9 @@ def _map_text(m, spec, ln, lin, conv_pool, block, sharing_active,
             if "mlp" in shared_keys:
                 absent = absent + ("mlp.c_fc.w", "mlp.c_fc.b",
                                    "mlp.c_proj.w", "mlp.c_proj.b")
+            alias_base = ("visual", "blocks", i - offset)
         block(f"transformer.resblocks.{i}", T + ("blocks", i),
-              shared_absent=absent)
+              shared_absent=absent, alias_base=alias_base)
         if spec.ext.any_active and map_ext is not None:
             map_ext(f"transformer.resblocks.{i}",
                     T + ("ext_blocks", i), "text", i)
@@ -441,6 +452,7 @@ def convert_torch_state_dict(state_dict, spec: MSClipSpec, template=None,
     key_map = build_key_map(spec)
     consumed = set()
     filled = set()
+    pending_alias = []  # (torch key, transformed value, visual path)
     for key, value in state_dict.items():
         if key.endswith("num_batches_tracked"):
             consumed.add(key)
@@ -449,10 +461,13 @@ def convert_torch_state_dict(state_dict, spec: MSClipSpec, template=None,
             if strict:
                 raise KeyError(f"Unmapped torch key: {key}")
             continue
-        path, fn = key_map[key]
+        entry = key_map[key]
+        path, fn = entry[0], entry[1]
         arr = fn(value)
         if path is None:
             consumed.add(key)  # aliased duplicate; verified below
+            if len(entry) > 2 and entry[2] is not None:
+                pending_alias.append((key, arr, entry[2]))
             continue
         expected = _get_path(template, path)
         if tuple(arr.shape) != tuple(expected.shape):
@@ -469,10 +484,27 @@ def convert_torch_state_dict(state_dict, spec: MSClipSpec, template=None,
         consumed.add(key)
         filled.add(path)
 
+    # Verify every aliased text-side copy against the stored visual copy.
+    # A checkpoint whose duplicates diverge was never actually
+    # weight-shared and must fail loudly, not evaluate wrong.
+    for key, arr, alias_path in pending_alias:
+        stored = np.asarray(_get_path(params, alias_path), np.float32)
+        ok = tuple(arr.shape) == tuple(stored.shape) and np.allclose(
+            arr.astype(np.float32), stored, rtol=1e-5, atol=1e-6
+        )
+        if not ok:
+            diff = (np.abs(arr.astype(np.float32) - stored).max()
+                    if arr.shape == stored.shape else "shape mismatch")
+            raise ValueError(
+                f"Aliased shared key {key!r} diverges from its visual copy "
+                f"at {'/'.join(map(str, alias_path))} (max |diff| = {diff}); "
+                "this checkpoint is not weight-shared as the spec claims"
+            )
+
     if strict:
         missing_torch = [
-            k for k, (p, _) in key_map.items()
-            if p is not None and p not in filled
+            k for k, entry in key_map.items()
+            if entry[0] is not None and entry[0] not in filled
         ]
         if missing_torch:
             raise KeyError(
@@ -485,6 +517,13 @@ def convert_torch_state_dict(state_dict, spec: MSClipSpec, template=None,
                 f"{len(unconsumed)} torch keys not consumed, e.g. "
                 f"{sorted(unconsumed)[:5]}"
             )
+    # matched / non-matched accounting, mirroring the reference's partial-
+    # load logging (lib/utils/utils.py:267-271)
+    logging.info(
+        "=> converted %d torch keys: %d stored, %d aliased-and-verified, "
+        "%d skipped", len(consumed), len(filled), len(pending_alias),
+        len(state_dict) - len(consumed),
+    )
     return params
 
 
@@ -510,7 +549,8 @@ def export_torch_state_dict(params, spec: MSClipSpec):
         _conv_w: lambda a: np.asarray(a).transpose(3, 2, 0, 1),
         _identity: lambda a: np.asarray(a),
     }
-    for key, (path, fn) in key_map.items():
+    for key, entry in key_map.items():
+        path, fn = entry[0], entry[1]
         if path is not None:
             out[key] = inverse[fn](_get_path(params, path))
     # aliased duplicates for shared text layers

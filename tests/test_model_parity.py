@@ -154,6 +154,29 @@ def test_param_count_matches_reference(tiny_pair):
     assert n_ours == n_ref + n_bn_stats
 
 
+def test_corrupted_alias_fails_loudly(tiny_pair):
+    """A checkpoint whose text-side copy of a shared tensor diverges from
+    the visual copy was never weight-shared; conversion must raise, not
+    silently drop the text values (round-1 finding: the 'verified' claim
+    was unimplemented)."""
+    import torch
+
+    ref, model, _ = tiny_pair
+    sd = {k: v.clone() for k, v in ref.state_dict().items()}
+    key = "transformer.resblocks.1.attn.in_proj_weight"
+    assert key in sd
+    sd[key] = sd[key] + 1.0
+    with pytest.raises(ValueError, match="resblocks.1.attn.in_proj_weight"):
+        convert_torch_state_dict(sd, model.spec)
+
+    # bias and mlp aliases are verified too
+    sd = {k: v.clone() for k, v in ref.state_dict().items()}
+    key = "transformer.resblocks.2.mlp.c_proj.bias"
+    sd[key] = sd[key] - 0.5
+    with pytest.raises(ValueError, match="c_proj.bias"):
+        convert_torch_state_dict(sd, model.spec)
+
+
 def test_export_roundtrip(tiny_pair):
     """params -> torch state_dict -> params is the identity, and the
     exported dict loads into the reference module."""

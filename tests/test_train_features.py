@@ -182,6 +182,44 @@ def test_random_resized_crop_params_semantics():
     assert aspect.min() > 0.7 and aspect.max() < 1.45
 
 
+def test_shared_param_labels_match_resolver():
+    """LR_SHARE/WD_SHARE optimizer groups must land on exactly the visual
+    blocks that resolve_text_block consumes, under VISUAL_LAYER_MINUS1 and
+    the legacy stem placement too (round-1 advisor finding: the offset
+    ignored both)."""
+    from msclip_tpu.models import MSClipSpec, init_params
+    from msclip_tpu.train.optim import param_labels
+
+    for minus1, new_impl in [(False, True), (True, True), (False, False)]:
+        spec = MSClipSpec(
+            embed_dim=16, image_resolution=64, vision_width=64,
+            vision_layers=4, vision_patch_size=16, vision_heads=1,
+            text_width=64, text_heads=1, text_layers=4, vocab_size=64,
+            context_length=8, early_conv=True,
+            early_conv_new_implement=new_impl,
+            visual_layer_minus1=minus1,
+            share_modules=("attn.in_proj_weight", "attn.in_proj_bias",
+                           "attn.out_proj", "mlp"),
+            share_n_layers=1,
+        )
+        params = init_params(jax.random.PRNGKey(0), spec)
+        labels = param_labels(params, spec)
+        offset = (1 if spec.visual_layer_minus1 else 0) + (
+            1 if spec.stem_in_trunk else 0
+        )
+        want = {
+            i - offset for i in range(spec.text_layers)
+            if spec.text_layer_is_shared(i)
+            and 0 <= i - offset < spec.n_trunk_blocks
+        }
+        assert want, (minus1, new_impl)  # the case must actually share
+        got = {
+            j for j, blk in enumerate(labels["visual"]["blocks"])
+            if blk["attn"]["qkv_w"] == "shared"
+        }
+        assert got == want, (minus1, new_impl, got, want)
+
+
 def test_gumbel_arch_label():
     from msclip_tpu.models import MSClipSpec, init_params
     from msclip_tpu.models.extensions import ExtSpec
