@@ -98,8 +98,13 @@ struct Coeffs {
   int kmax = 0;
 };
 
-// PIL ImagingPrecomputeCoeffs over an input window [in0, in1).
-Coeffs precompute(int in0, int in1, int out_size) {
+// PIL ImagingPrecomputeCoeffs over an input window [in0, in1), clamped to
+// the FULL image extent [0, bound) — PIL's resize(box=...) samples outside
+// the box (up to the filter support) when the box does not touch the image
+// edge; clamping to the box instead of the image was both a parity
+// deviation and, in the vertical pass, an out-of-bounds read of the
+// intermediate buffer (the round-1 "flaky" native test was this UB).
+Coeffs precompute(int in0, int in1, int bound, int out_size) {
   Coeffs c;
   const double support0 = 2.0;
   double scale = static_cast<double>(in1 - in0) / out_size;
@@ -115,7 +120,7 @@ Coeffs precompute(int in0, int in1, int out_size) {
     int xmin = static_cast<int>(center - support + 0.5);
     if (xmin < 0) xmin = 0;
     int xmax = static_cast<int>(center + support + 0.5);
-    if (xmax > in1) xmax = in1;
+    if (xmax > bound) xmax = bound;
     xmax -= xmin;
     double* kk = &c.k[static_cast<size_t>(xx) * c.kmax];
     double ww = 0.0;
@@ -145,13 +150,21 @@ inline uint8_t clip8(double v) {
 std::vector<uint8_t> resample(const uint8_t* src, int sw, int sh, int bx0,
                               int by0, int bx1, int by1, int out_w,
                               int out_h) {
-  Coeffs ch = precompute(bx0, bx1, out_w);
-  Coeffs cv = precompute(by0, by1, out_h);
-  // horizontal: rows [by0, by1) -> width out_w
-  int mid_h = by1 - by0;
+  Coeffs ch = precompute(bx0, bx1, sw, out_w);
+  Coeffs cv = precompute(by0, by1, sh, out_h);
+  // The vertical filter support may extend past the box (clamped to the
+  // image); the horizontal pass must cover exactly the row range the
+  // vertical pass will read (PIL ImagingResampleInner's ybox bounds).
+  int row_first = sh, row_last = 0;
+  for (int yy = 0; yy < out_h; ++yy) {
+    row_first = std::min(row_first, cv.xmin[yy]);
+    row_last = std::max(row_last, cv.xmin[yy] + cv.xlen[yy]);
+  }
+  // horizontal: rows [row_first, row_last) -> width out_w
+  int mid_h = row_last - row_first;
   std::vector<uint8_t> mid(static_cast<size_t>(out_w) * mid_h * 3);
   for (int y = 0; y < mid_h; ++y) {
-    const uint8_t* srow = src + (static_cast<size_t>(y + by0) * sw) * 3;
+    const uint8_t* srow = src + (static_cast<size_t>(y + row_first) * sw) * 3;
     uint8_t* drow = mid.data() + static_cast<size_t>(y) * out_w * 3;
     for (int xx = 0; xx < out_w; ++xx) {
       const double* kk = &ch.k[static_cast<size_t>(xx) * ch.kmax];
@@ -173,7 +186,7 @@ std::vector<uint8_t> resample(const uint8_t* src, int sw, int sh, int bx0,
   std::vector<float> acc(static_cast<size_t>(out_w) * 3);
   for (int yy = 0; yy < out_h; ++yy) {
     const double* kk = &cv.k[static_cast<size_t>(yy) * cv.kmax];
-    int ymin = cv.xmin[yy] - by0, ylen = cv.xlen[yy];
+    int ymin = cv.xmin[yy] - row_first, ylen = cv.xlen[yy];
     std::fill(acc.begin(), acc.end(), 0.0f);
     for (int y = 0; y < ylen; ++y) {
       const float w = static_cast<float>(kk[y]);

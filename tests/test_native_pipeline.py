@@ -100,6 +100,105 @@ def test_decode_train_deterministic_and_valid():
     assert a.min() >= lo - 1e-5 and a.max() <= hi + 1e-5
 
 
+def _splitmix64_py(state):
+    """Python replica of the C splitmix64 (image_pipeline.cc) so tests can
+    derive the exact crop box a seed produces."""
+    M = (1 << 64) - 1
+    state = (state + 0x9E3779B97F4A7C15) & M
+    z = state
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+    return state, (z ^ (z >> 31))
+
+
+def _uniform01_py(state):
+    state, z = _splitmix64_py(state)
+    return state, (z >> 11) * (1.0 / 9007199254740992.0)
+
+
+def _train_params_py(seed, w, h, smin=0.08, smax=1.0, hflip_p=0.5):
+    """Replicates ip_decode_train's crop/flip draws."""
+    import math
+
+    rs = seed if seed else 0x2545F4914F6CDD1D
+    area = float(w * h)
+    log_rmin, log_rmax = math.log(3 / 4), math.log(4 / 3)
+    found = False
+    for _ in range(10):
+        rs, u1 = _uniform01_py(rs)
+        rs, u2 = _uniform01_py(rs)
+        target = area * (smin + (smax - smin) * u1)
+        ratio = math.exp(log_rmin + (log_rmax - log_rmin) * u2)
+        tw = round(math.sqrt(target * ratio))
+        th = round(math.sqrt(target / ratio))
+        if 0 < tw <= w and 0 < th <= h:
+            rs, u3 = _uniform01_py(rs)
+            rs, u4 = _uniform01_py(rs)
+            cx, cy, cw, ch = int(u3 * (w - tw + 1)), int(u4 * (h - th + 1)), tw, th
+            found = True
+            break
+    if not found:
+        in_ratio = w / h
+        if in_ratio < 3 / 4:
+            cw, ch = w, round(w / (3 / 4))
+        elif in_ratio > 4 / 3:
+            ch, cw = h, round(h * (4 / 3))
+        else:
+            cw, ch = w, h
+        cx, cy = (w - cw) // 2, (h - ch) // 2
+    rs, uf = _uniform01_py(rs)
+    return cx, cy, cw, ch, uf < hflip_p
+
+
+def test_decode_train_matches_pil_box_resize():
+    """ip_decode_train must equal PIL's resize(box=crop) + flip within
+    JPEG-decoder tolerance — in particular near crop edges, where PIL's
+    filter support samples OUTSIDE the box (the round-1 OOB-read bug
+    clamped to the box instead, corrupting the top rows)."""
+    from PIL import Image
+
+    data = _jpeg_bytes(300, 200, seed=7)
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    for seed in range(1, 6):
+        got = N.decode_train(data, 224, IMAGENET_MEAN, IMAGENET_STD,
+                             seed=seed)
+        assert got is not None
+        cx, cy, cw, ch, flip = _train_params_py(seed, *img.size)
+        ref = img.resize((224, 224), Image.BICUBIC,
+                         box=(cx, cy, cx + cw, cy + ch))
+        arr = np.asarray(ref, np.float32) / 255.0
+        if flip:
+            arr = arr[:, ::-1]
+        arr = (arr - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
+            IMAGENET_STD, np.float32
+        )
+        diff = np.abs(got - arr)
+        assert diff.mean() < 0.02, (seed, diff.mean())
+        # the top/bottom rows specifically (where the OOB bug lived)
+        assert diff[:2].mean() < 0.04 and diff[-2:].mean() < 0.04, seed
+
+
+def test_decode_train_thread_deterministic():
+    """Same (data, seed) must give bit-identical output from any calling
+    thread (round-1 flake root cause: UB heap read made the result depend
+    on the calling thread's allocator state)."""
+    import concurrent.futures as cf
+
+    data = _jpeg_bytes(300, 200, seed=7)
+    golden = {s: N.decode_train(data, 224, IMAGENET_MEAN, IMAGENET_STD,
+                                seed=s) for s in range(8)}
+    assert all(v is not None for v in golden.values())
+
+    def check(i):
+        s = i % 8
+        r = N.decode_train(data, 224, IMAGENET_MEAN, IMAGENET_STD, seed=s)
+        return r is not None and np.array_equal(r, golden[s])
+
+    with cf.ThreadPoolExecutor(8) as pool:
+        results = list(pool.map(check, range(64)))
+    assert all(results), f"{results.count(False)} thread mismatches"
+
+
 def test_image_folder_native_path(tmp_path):
     from PIL import Image
 
