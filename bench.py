@@ -6,7 +6,14 @@ the hot loop of the reference's eval pipeline (SURVEY.md §3.2 hot loop #2).
 Baseline target (BASELINE.md): >=10,000 images/sec/chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "extra": {...}}
+
+``value`` is the b32 eval number (BASELINE config #1). ``extra`` carries
+the other BASELINE configs measured in the same run: #2 (b16 eval — the
+197-token kernel stress case) and #4 (b32 contrastive train step,
+fwd+bwd+AdamW). ``BENCH_QUICK=1`` skips the extras; ``BENCH_MODEL``
+changes which model the headline measures.
 """
 
 from __future__ import annotations
@@ -15,21 +22,17 @@ import json
 import os
 import time
 
-import numpy as np
-
 BASELINE_IMG_PER_SEC = 10_000.0
 
 
-def main():
+def _build(model_yaml: str):
     import jax
-    import jax.numpy as jnp
 
     from msclip_tpu.config import get_default_config, update_config
     from msclip_tpu.models import MSClipModel, spec_from_config
 
     root = os.path.dirname(os.path.abspath(__file__))
     cfg = get_default_config()
-    model_yaml = os.environ.get("BENCH_MODEL", "b32-yfcc-msclips")
     update_config(
         cfg, os.path.join(root, f"experiments/model/{model_yaml}.yaml")
     )
@@ -42,20 +45,25 @@ def main():
         cfg.TPU.USE_FUSED_BLOCK = True
     spec = spec_from_config(cfg)
     model = MSClipModel(spec)
+    return cfg, spec, model
+
+
+def _bench_eval(model_yaml: str, batch: int, n_iters: int) -> float:
+    """BASELINE configs #1/#2: images/sec/chip for encode_image + 1k-class
+    logits from uint8 input (host decodes JPEGs to uint8; device does
+    /255-mean-std normalize — the production input path, 38.5 MB of uint8
+    per 256-batch instead of a 154 MB fp32 copy)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, spec, model = _build(model_yaml)
     params = model.init(jax.random.PRNGKey(0))
     if os.environ.get("BENCH_FOLD_BN", "1") != "0":
         from msclip_tpu.models.folding import fold_params_for_eval
 
         params = fold_params_for_eval(params, spec)
 
-    # 32 chained iterations amortize the dispatch round-trip (~28 ms over
-    # remote tunnels) to <1 ms/iter, measuring steady-state throughput —
-    # production eval pipelines the host loop (double-buffered feeds), so
-    # per-dispatch latency is not a per-batch cost.
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
-    n_iters = int(os.environ.get("BENCH_ITERS", "32"))
     n_classes = 1000
-
     classifier = jax.random.normal(
         jax.random.PRNGKey(1), (spec.embed_dim, n_classes), jnp.bfloat16
     )
@@ -67,14 +75,8 @@ def main():
         """n_iters eval batches chained in ONE dispatch (lax.scan), so the
         host<->device round-trip (tens of ms over remote tunnels) is paid
         once, not per batch. Returns one scalar; fetching it is the
-        completion barrier (block_until_ready is unreliable over tunnels).
-
-        Input arrives as uint8 and is normalized on device — the
-        production pipeline (host decodes JPEGs to uint8, device does
-        /255-mean-std; BASELINE.json north star), so the per-batch HBM
-        input traffic matches deployment (38.5 MB of uint8, not a 154 MB
-        fp32 copy).
-        """
+        completion barrier (block_until_ready is unreliable over
+        tunnels)."""
 
         base = jax.random.randint(
             key, (batch, 224, 224, 3), 0, 256, jnp.uint8
@@ -108,7 +110,77 @@ def main():
     elapsed = min(times)
 
     n_chips = jax.local_device_count()
-    ips = batch * n_iters / elapsed / n_chips
+    return batch * n_iters / elapsed / n_chips
+
+
+def _bench_train(model_yaml: str, batch: int, n_iters: int) -> float:
+    """BASELINE config #4: samples/sec/chip for the full contrastive train
+    step (fwd + bwd + InfoNCE + AdamW + BN replay), n_iters steps chained
+    in one jit'd scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from msclip_tpu.train.optim import build_optimizer
+    from msclip_tpu.train.trainer import init_train_state, make_step_core
+
+    cfg, spec, model = _build(model_yaml)
+    if os.environ.get("BENCH_REMAT", "0") != "0":
+        import dataclasses
+
+        spec = dataclasses.replace(spec, remat=True)
+    params = model.init(jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=1000)
+    state = init_train_state(model, tx, params=params)
+    step = make_step_core(spec, tx)
+
+    images = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, 224, 224, 3), jnp.bfloat16
+    )
+    tokens = jnp.zeros((batch, 77), jnp.int32).at[:, 0].set(49406)
+    tokens = tokens.at[:, 1].set(320).at[:, 2].set(49407)
+
+    @jax.jit
+    def run(state, images, tokens):
+        def body(st, i):
+            st2, m = step(st, images + i.astype(images.dtype) * 1e-6,
+                          tokens)
+            return st2, m["loss"]
+
+        _, losses = jax.lax.scan(body, state, jnp.arange(n_iters))
+        return losses.sum()
+
+    float(run(state, images, tokens))  # compile + warmup
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(state, images, tokens))
+        times.append(time.perf_counter() - t0)
+    per_step = min(times) / n_iters
+    return batch / per_step / jax.local_device_count()
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "32"))
+    model_yaml = os.environ.get("BENCH_MODEL", "b32-yfcc-msclips")
+
+    ips = _bench_eval(model_yaml, batch, n_iters)
+
+    extra = {}
+    if os.environ.get("BENCH_QUICK", "0") == "0":
+        try:
+            extra["b16_eval_ips"] = round(
+                _bench_eval("b16-yfcc-msclips", batch, n_iters), 1
+            )
+        except Exception as e:  # never let an extra kill the headline
+            extra["b16_eval_error"] = repr(e)[:200]
+        try:
+            extra["b32_train_sps"] = round(
+                _bench_train("b32-yfcc-msclips", batch, 8), 1
+            )
+        except Exception as e:
+            extra["b32_train_error"] = repr(e)[:200]
+
     print(
         json.dumps(
             {
@@ -120,6 +192,7 @@ def main():
                 "value": round(ips, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 4),
+                "extra": extra,
             }
         )
     )

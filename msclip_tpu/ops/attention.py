@@ -24,15 +24,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# target VMEM budget for the qkv input block of one program
-_BLOCK_BYTES = 4 * 1024 * 1024
+# VMEM budget for one program's double-buffered in+out blocks (of the
+# 16 MB/core, leaving headroom for the in-kernel scores/softmax scratch)
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def _pick_batch_tile(batch: int, seq: int, three_e: int, itemsize: int) -> int:
-    per_sample = seq * three_e * itemsize
-    tb = max(1, _BLOCK_BYTES // per_sample)
-    # round down to a power of two first (17 -> 16, not 8 via the
-    # divisibility loop; measured 26% faster at ViT-B/32 shapes on v5e)
+def _pick_batch_tile(batch: int, seq: int, three_e: int, itemsize: int,
+                     io_cols: int | None = None) -> int:
+    """Largest power-of-two batch tile whose pipelined VMEM footprint fits.
+
+    ``io_cols``: total last-dim columns DMA'd per sample — fwd moves
+    3E in + E out (default), bwd moves 3E+E in + 3E out = 7E. Mosaic
+    double-buffers every blocked operand across grid steps, so the
+    constraint is ``2 * tb * seq * io_cols * itemsize <= budget`` (the
+    round-1 picker modelled only the 3E input block and compiled a bwd
+    tile whose stack allocation exceeded VMEM at B=512 / any b16 train
+    batch). Power-of-two rounding first: 17 -> 16, not 8 via the
+    divisibility loop; measured 26% faster at ViT-B/32 shapes on v5e.
+    Verified vs a sweep at L=197 (experiments/attn197_tuning.py): picks
+    the measured-optimal fwd tile (4) and the largest compilable sizes.
+    """
+    if io_cols is None:
+        io_cols = 4 * (three_e // 3)
+    per_sample = seq * io_cols * itemsize
+    tb = max(1, _VMEM_BUDGET // (2 * per_sample))
     tb = 1 << (tb.bit_length() - 1)
     # largest power of two <= tb that also divides the (padded) batch
     while tb > 1 and batch % tb:
@@ -48,9 +63,11 @@ def _attn_kernel(qkv_ref, o_ref, *, n_head, scale, has_mask, mask_ref=None):
         q = qkv[:, :, h * D:(h + 1) * D]
         k = qkv[:, :, E + h * D:E + (h + 1) * D]
         v = qkv[:, :, 2 * E + h * D:2 * E + (h + 1) * D]
+        # native-dtype multiply, fp32 accumulate: a bf16 qk^T runs as one
+        # MXU pass instead of fp32's 3-pass decomposition (softmax and the
+        # running max/sum stay fp32 via preferred_element_type)
         scores = jax.lax.dot_general(
-            q.astype(jnp.float32), k.astype(jnp.float32),
-            (((2,), (2,)), ((0,), (0,))),
+            q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
         if has_mask:
@@ -71,11 +88,15 @@ def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, n_head, scale, has_mask,
     qkv = qkv_ref[...]
     E = qkv.shape[-1] // 3
     D = E // n_head
+    # all five matmuls run native-dtype multiply / fp32 accumulate (one MXU
+    # pass for bf16 vs fp32's 3-pass form); the softmax, the dS correction
+    # and the scale stay fp32. With fp32 inputs nothing changes.
+    ct = qkv_ref.dtype
     for h in range(n_head):
-        q = qkv[:, :, h * D:(h + 1) * D].astype(jnp.float32)
-        k = qkv[:, :, E + h * D:E + (h + 1) * D].astype(jnp.float32)
-        v = qkv[:, :, 2 * E + h * D:2 * E + (h + 1) * D].astype(jnp.float32)
-        g = g_ref[:, :, h * D:(h + 1) * D].astype(jnp.float32)
+        q = qkv[:, :, h * D:(h + 1) * D]
+        k = qkv[:, :, E + h * D:E + (h + 1) * D]
+        v = qkv[:, :, 2 * E + h * D:2 * E + (h + 1) * D]
+        g = g_ref[:, :, h * D:(h + 1) * D]
 
         scores = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
@@ -84,10 +105,11 @@ def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, n_head, scale, has_mask,
         if has_mask:
             scores = scores + mask_ref[...]
         w = jax.nn.softmax(scores, axis=-1)  # [TB, L, M] fp32
+        wc = w.astype(ct)
 
         # dV = W^T g
         dv = jax.lax.dot_general(
-            w, g, (((1,), (1,)), ((0,), (0,))),
+            wc, g, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         # dW = g V^T ; dS = (dW - rowsum(dW * W)) * W
@@ -95,7 +117,7 @@ def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, n_head, scale, has_mask,
             g, v, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        ds = (dw - jnp.sum(dw * w, axis=-1, keepdims=True)) * w
+        ds = ((dw - jnp.sum(dw * w, axis=-1, keepdims=True)) * w).astype(ct)
         # dQ = dS K * scale ; dK = dS^T Q * scale
         dq = jax.lax.dot_general(
             ds, k, (((2,), (1,)), ((0,), (0,))),
@@ -128,7 +150,8 @@ def _fused_attention_bwd(n_head, interpret, batch_tile, residuals, g):
     B, L, three_e = qkv.shape
     E = three_e // 3
     scale = (E // n_head) ** -0.5
-    tb = batch_tile or _pick_batch_tile(B, L, three_e, qkv.dtype.itemsize)
+    tb = batch_tile or _pick_batch_tile(B, L, three_e, qkv.dtype.itemsize,
+                                        io_cols=7 * E)
     pad_b = (-B) % tb
     if pad_b:
         qkv = jnp.pad(qkv, ((0, pad_b), (0, 0), (0, 0)))

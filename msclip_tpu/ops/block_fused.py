@@ -70,9 +70,10 @@ def _attn_half_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref,
         qh = q[:, :, hh * D:(hh + 1) * D]
         kh = k[:, :, hh * D:(hh + 1) * D]
         vh = v[:, :, hh * D:(hh + 1) * D]
+        # native-dtype multiply, fp32 accumulate (one MXU pass for bf16
+        # instead of fp32's 3-pass decomposition); softmax stays fp32
         s = jax.lax.dot_general(
-            qh.astype(jnp.float32), kh.astype(jnp.float32),
-            (((2,), (2,)), ((0,), (0,))),
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
         if has_mask:
             s = s + mask_ref[...]

@@ -106,47 +106,63 @@ def chunked_sharded_infonce_loss(feats_img, feats_txt, logit_scale,
         img_all = jnp.pad(img_all, ((0, pad), (0, 0)))
         txt_all = jnp.pad(txt_all, ((0, pad), (0, 0)))
 
-    def direction(rows, cols_all):
-        rows32 = rows.astype(jnp.float32)
-
-        def body(carry, c):
-            m, s, gold, tot = carry
-            block = jax.lax.dynamic_slice(
-                cols_all, (c * chunk, 0), (chunk, cols_all.shape[1])
-            ).astype(jnp.float32)
-            logits = T * jnp.dot(rows32, block.T,
-                                 precision=jax.lax.Precision.HIGHEST)
-            col_ids = c * chunk + jnp.arange(chunk)
-            valid = (col_ids < B)[None, :]
-            logits = jnp.where(valid, logits, -jnp.inf)
-            # online logsumexp
-            m_new = jnp.maximum(m, logits.max(axis=-1))
-            s = s * jnp.exp(m - m_new) + jnp.exp(
-                logits - m_new[:, None]
-            ).sum(axis=-1)
-            # gold logit if this chunk holds the diagonal column
-            hit = col_ids[None, :] == labels[:, None]
-            gold = gold + jnp.where(hit, logits, 0.0).sum(axis=-1)
-            # running sum of valid logits (label-smoothing mean term)
-            tot = tot + jnp.where(valid, logits, 0.0).sum(axis=-1)
-            return (m_new, s, gold, tot), None
-
-        m0 = jnp.full((b,), -jnp.inf, jnp.float32)
-        s0 = jnp.zeros((b,), jnp.float32)
-        g0 = jnp.zeros((b,), jnp.float32)
-        t0 = jnp.zeros((b,), jnp.float32)
-        # mark the carry as varying over the mapped axis (the body mixes in
-        # shard-local data, so the output carry is axis-varying)
-        m0, s0, g0, t0 = jax.lax.pvary((m0, s0, g0, t0), (axis_name,))
-        (m, s, gold, tot), _ = jax.lax.scan(
-            body, (m0, s0, g0, t0), jnp.arange(n_chunks)
-        )
-        logz = m + jnp.log(s)
-        # (1-ls)*(logz - gold) + ls*(logz - mean) with mean = tot / B —
-        # identical decomposition to _ce's smoothing term
-        target = (1.0 - label_smoothing) * gold + label_smoothing * (tot / B)
-        return (logz - target).mean()
-
-    loss = 0.5 * (direction(feats_img, txt_all)
-                  + direction(feats_txt, img_all))
+    loss = 0.5 * (
+        chunked_direction(feats_img, txt_all, T, labels, B, chunk,
+                          label_smoothing, axis_name=axis_name)
+        + chunked_direction(feats_txt, img_all, T, labels, B, chunk,
+                            label_smoothing, axis_name=axis_name)
+    )
     return jax.lax.pmean(loss, axis_name)
+
+
+def chunked_direction(rows, cols_all, T, labels, B, chunk,
+                      label_smoothing=0.0, axis_name=None):
+    """One direction of the chunked loss: local ``[b, E]`` rows against
+    pre-gathered ``[ceil(B/chunk)*chunk, E]`` columns, online logsumexp.
+
+    Standalone (``axis_name=None``) it is the exact per-chip compute of a
+    ``chunked_sharded_infonce_loss`` direction minus the ICI gathers —
+    used by experiments/profile_train.py to put a real-hardware number on
+    BASELINE config #5's per-chip work with one chip."""
+    b = rows.shape[0]
+    rows32 = rows.astype(jnp.float32)
+
+    def body(carry, c):
+        m, s, gold, tot = carry
+        block = jax.lax.dynamic_slice(
+            cols_all, (c * chunk, 0), (chunk, cols_all.shape[1])
+        ).astype(jnp.float32)
+        logits = T * jnp.dot(rows32, block.T,
+                             precision=jax.lax.Precision.HIGHEST)
+        col_ids = c * chunk + jnp.arange(chunk)
+        valid = (col_ids < B)[None, :]
+        logits = jnp.where(valid, logits, -jnp.inf)
+        # online logsumexp
+        m_new = jnp.maximum(m, logits.max(axis=-1))
+        s = s * jnp.exp(m - m_new) + jnp.exp(
+            logits - m_new[:, None]
+        ).sum(axis=-1)
+        # gold logit if this chunk holds the diagonal column
+        hit = col_ids[None, :] == labels[:, None]
+        gold = gold + jnp.where(hit, logits, 0.0).sum(axis=-1)
+        # running sum of valid logits (label-smoothing mean term)
+        tot = tot + jnp.where(valid, logits, 0.0).sum(axis=-1)
+        return (m_new, s, gold, tot), None
+
+    m0 = jnp.full((b,), -jnp.inf, jnp.float32)
+    s0 = jnp.zeros((b,), jnp.float32)
+    g0 = jnp.zeros((b,), jnp.float32)
+    t0 = jnp.zeros((b,), jnp.float32)
+    if axis_name is not None:
+        # mark the carry as varying over the mapped axis (the body mixes
+        # in shard-local data, so the output carry is axis-varying)
+        m0, s0, g0, t0 = jax.lax.pvary((m0, s0, g0, t0), (axis_name,))
+    n_chunks = cols_all.shape[0] // chunk
+    (m, s, gold, tot), _ = jax.lax.scan(
+        body, (m0, s0, g0, t0), jnp.arange(n_chunks)
+    )
+    logz = m + jnp.log(s)
+    # (1-ls)*(logz - gold) + ls*(logz - mean) with mean = tot / B —
+    # identical decomposition to _ce's smoothing term
+    target = (1.0 - label_smoothing) * gold + label_smoothing * (tot / B)
+    return (logz - target).mean()

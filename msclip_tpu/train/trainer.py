@@ -124,16 +124,14 @@ def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096,
     return loss_fn
 
 
-def make_train_step(spec, tx, mesh=None, sharded_loss=False,
-                    loss_chunk=4096, ema_decay: float = 0.0,
-                    donate: bool = True, label_smoothing: float = 0.0,
-                    seed: int = 0):
-    """Build the jit-compiled train step.
-
-    step(state, images, tokens) -> (state, metrics). The step derives a
-    fresh rng from ``seed`` (``TPU.SEED``) and the step counter for the
-    stochastic training paths.
-    """
+def make_step_core(spec, tx, mesh=None, sharded_loss=False,
+                   loss_chunk=4096, ema_decay: float = 0.0,
+                   label_smoothing: float = 0.0, seed: int = 0):
+    """The raw (un-jitted) train step: value_and_grad + optimizer + BN
+    replay + EMA. Exposed separately so harnesses (bench.py,
+    experiments/profile_train.py) can chain K steps inside one jit/scan —
+    over a remote tunnel the per-dispatch RTT would otherwise swamp the
+    measurement."""
     loss_fn = make_loss_fn(spec, mesh, sharded_loss, loss_chunk,
                            label_smoothing)
     needs_rng = spec.vision_drop_path > 0.0 or spec.ext.gumbel_select
@@ -159,6 +157,25 @@ def make_train_step(spec, tx, mesh=None, sharded_loss=False,
         metrics = {"loss": loss, "grad_norm": grad_norm,
                    "logit_scale": params["logit_scale"]}
         return TrainState(state.step + 1, params, opt_state, ema), metrics
+
+    return step_fn
+
+
+def make_train_step(spec, tx, mesh=None, sharded_loss=False,
+                    loss_chunk=4096, ema_decay: float = 0.0,
+                    donate: bool = True, label_smoothing: float = 0.0,
+                    seed: int = 0):
+    """Build the jit-compiled train step.
+
+    step(state, images, tokens) -> (state, metrics). The step derives a
+    fresh rng from ``seed`` (``TPU.SEED``) and the step counter for the
+    stochastic training paths.
+    """
+    step_fn = make_step_core(
+        spec, tx, mesh=mesh, sharded_loss=sharded_loss,
+        loss_chunk=loss_chunk, ema_decay=ema_decay,
+        label_smoothing=label_smoothing, seed=seed,
+    )
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -2,7 +2,8 @@
 
 Same public interface as the reference ``tools/eval_zeroshot.py``: maps
 dataset names to dataset YAMLs and launches ``tools/zero_shot.py`` in a
-subprocess per dataset.
+subprocess per dataset. (Unlike the reference, config ``opts`` given on
+the command line are forwarded to each job.)
 
     python tools/eval_zeroshot.py --model experiments/model/<cfg>.yaml \
         [--ds imagenet[,name2...]]
@@ -21,15 +22,21 @@ cfg_files_dataset = {
 
 
 def parse_args():
-    parser = argparse.ArgumentParser(description="Zeroshot Eval")
+    parser = argparse.ArgumentParser(
+        description="Dispatch zero-shot evaluation jobs"
+    )
     parser.add_argument("--ds", type=str,
-                        help="Evaluation dataset configure file name.")
+                        help="comma-separated dataset names (or dataset "
+                             "YAML paths); default: all registered")
     parser.add_argument("--model", required=True, type=str,
-                        help="Evaluation model configure file name")
+                        help="model config YAML for every job")
     parser.add_argument("--save-feature", default=False, type=str,
-                        help="Flag to save feature or not")
+                        help="accepted for interface compatibility "
+                             "(use tools/extract_features.py to dump "
+                             "features)")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER,
-                        help="Modify config options using the command-line")
+                        help="KEY VALUE config overrides appended to "
+                             "each job")
     return parser.parse_args()
 
 
@@ -43,7 +50,10 @@ def run_jobs():
         if not os.path.exists(name) and not os.path.exists(
             cfg_files_dataset.get(name, "")
         ):
-            raise Exception(f"Dataset {name} does not exist.")
+            raise Exception(
+                f"unknown dataset {name!r}: neither a YAML path nor a "
+                f"registered name ({sorted(cfg_files_dataset)})"
+            )
 
     for name in datasets:
         cfg_file_ds = name if os.path.exists(name) else cfg_files_dataset[name]
