@@ -124,6 +124,30 @@ def test_chunked_padding_correct():
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
 
 
+def test_chunked_direction_standalone_matches_global():
+    """chunked_direction with axis_name=None (the profile-harness path,
+    experiments/profile_train.py) reproduces the global loss exactly when
+    fed pre-gathered columns — guards the r2 extraction of the direction
+    body out of chunked_sharded_infonce_loss."""
+    from msclip_tpu.parallel.infonce import chunked_direction
+
+    B, E, chunk = 48, 16, 20
+    img, txt = _feats(B, E, 8), _feats(B, E, 9)
+    scale = jnp.asarray(0.5)
+    want = infonce_loss(jnp.array(img), jnp.array(txt), scale)
+
+    T = jnp.exp(scale).astype(jnp.float32)
+    labels = jnp.arange(B)
+    pad = (-B) % chunk
+    img_p = jnp.pad(jnp.array(img), ((0, pad), (0, 0)))
+    txt_p = jnp.pad(jnp.array(txt), ((0, pad), (0, 0)))
+    got = 0.5 * (
+        chunked_direction(jnp.array(img), txt_p, T, labels, B, chunk)
+        + chunked_direction(jnp.array(txt), img_p, T, labels, B, chunk)
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
 def test_param_shardings_tp():
     """TP rules: qkv/c_fc column-split, out/c_proj row-split, rest
     replicated."""
