@@ -172,6 +172,8 @@ def get_default_config() -> CfgNode:
     c.TPU.SHARDED_LOSS = False        # chunked global-batch InfoNCE
     c.TPU.LOSS_CHUNK = 4096           # column-block size of the sharded loss
     c.TPU.REMAT = False               # jax.checkpoint on trunk blocks
+    c.TPU.ZERO1 = False               # shard optimizer state over 'data'
+                                      # (TPU-native DeepSpeed ZeRO stage 1)
     c.TPU.SEED = 0                    # rng seed: init, DropPath, loaders
 
     return c

@@ -4,8 +4,10 @@ from .mesh import (
     batch_sharding,
     create_mesh,
     mesh_from_config,
+    optstate_shardings,
     param_shardings,
     replicated,
+    shard_opt_state,
     shard_params,
 )
 from .infonce import (
@@ -20,8 +22,10 @@ __all__ = [
     "batch_sharding",
     "create_mesh",
     "mesh_from_config",
+    "optstate_shardings",
     "param_shardings",
     "replicated",
+    "shard_opt_state",
     "shard_params",
     "chunked_sharded_infonce_loss",
     "infonce_loss",

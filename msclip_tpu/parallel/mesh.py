@@ -89,3 +89,41 @@ def param_shardings(mesh: Mesh, params):
 def shard_params(params, mesh: Mesh):
     shardings = param_shardings(mesh, params)
     return jax.device_put(params, shardings)
+
+
+def optstate_shardings(mesh: Mesh, opt_state):
+    """ZeRO-1 shardings: optimizer-state arrays split over the data axis.
+
+    The TPU-native analogue of DeepSpeed's ``zero_optimization`` stage 1
+    (the reference exports a DEEPSPEED config stub but the release never
+    runs it): AdamW's first/second moments are the dominant train-state
+    memory (2x params in fp32), and under pure DP they are replicated on
+    every chip. Sharding them over ``data`` cuts that to 2x/N; XLA
+    inserts the gather for the update and keeps the weight update itself
+    partitioned (sharding propagation through ``tx.update``).
+
+    Rules: leaves already non-replicated (TP-sharded moments when
+    ``MESH_MODEL > 1``) keep their sharding; otherwise arrays whose
+    leading dim divides evenly get ``P('data')``; scalars (step counts)
+    and indivisible leaves stay replicated.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+
+    def one(leaf):
+        cur = getattr(leaf, "sharding", None)
+        if cur is not None and hasattr(cur, "is_fully_replicated") \
+                and not cur.is_fully_replicated:
+            return cur
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] >= n_data and leaf.shape[0] % n_data == 0):
+            return NamedSharding(
+                mesh, P(DATA_AXIS, *([None] * (leaf.ndim - 1)))
+            )
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(one, opt_state)
+
+
+def shard_opt_state(opt_state, mesh: Mesh):
+    """Apply ZeRO-1 shardings (``TPU.ZERO1``) to an optax state tree."""
+    return jax.device_put(opt_state, optstate_shardings(mesh, opt_state))

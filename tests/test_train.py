@@ -182,6 +182,48 @@ def test_train_step_sharded_matches_single():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_train_step_zero1_matches_unsharded():
+    """TPU.ZERO1 (AdamW moments sharded over the data axis — the
+    TPU-native DeepSpeed zero_optimization stage 1) must change memory
+    placement only: two mesh steps with ZeRO-sharded optimizer state
+    track the replicated-state steps numerically, and the moment arrays
+    really are distributed."""
+    from msclip_tpu.parallel import create_mesh, shard_opt_state
+
+    spec = tiny_spec()
+    model = MSClipModel(spec)
+    cfg = _cfg()
+    params = model.init(jax.random.PRNGKey(1))
+    tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=10)
+    images, tokens = _batch(spec, b=16, seed=4)
+    mesh = create_mesh(data=8, model=1)
+
+    state_a = init_train_state(model, tx, params=params)
+    step_a = make_train_step(spec, tx, mesh=mesh, donate=False)
+
+    state_b = init_train_state(model, tx, params=params)
+    state_b = state_b._replace(
+        opt_state=shard_opt_state(state_b.opt_state, mesh)
+    )
+    sharded = [
+        l for l in jax.tree.leaves(state_b.opt_state)
+        if hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+    ]
+    assert sharded, "no optimizer-state leaf was actually ZeRO-sharded"
+    step_b = make_train_step(spec, tx, mesh=mesh, donate=False)
+
+    for _ in range(2):
+        state_a, m_a = step_a(state_a, images, tokens)
+        state_b, m_b = step_b(state_b, images, tokens)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        # 1e-5: reduction order differs under the distributed layout
+        # (measured max divergence 1.1e-6 after two steps)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from msclip_tpu.train import CheckpointManager, auto_resume
 

@@ -71,6 +71,14 @@ def main():
     tx, _ = build_optimizer(config, params, spec, steps_per_epoch)
     state = init_train_state(model, tx, params=params,
                              ema_decay=config.TRAIN.EMA_DECAY)
+    if config.TPU.ZERO1:
+        # ZeRO-1: AdamW moments sharded over the data axis (the TPU
+        # analogue of the reference's DEEPSPEED zero_optimization stub)
+        from msclip_tpu.parallel import shard_opt_state
+
+        state = state._replace(
+            opt_state=shard_opt_state(state.opt_state, mesh)
+        )
 
     ckpt_mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"))
     begin_epoch = config.TRAIN.BEGIN_EPOCH
