@@ -168,12 +168,13 @@ def main():
 
     extra = {}
     if os.environ.get("BENCH_QUICK", "0") == "0":
-        try:
-            extra["b16_eval_ips"] = round(
-                _bench_eval("b16-yfcc-msclips", batch, n_iters), 1
-            )
-        except Exception as e:  # never let an extra kill the headline
-            extra["b16_eval_error"] = repr(e)[:200]
+        if model_yaml != "b16-yfcc-msclips":  # skip if it IS the headline
+            try:
+                extra["b16_eval_ips"] = round(
+                    _bench_eval("b16-yfcc-msclips", batch, n_iters), 1
+                )
+            except Exception as e:  # never let an extra kill the headline
+                extra["b16_eval_error"] = repr(e)[:200]
         try:
             extra["b32_train_sps"] = round(
                 _bench_train("b32-yfcc-msclips", batch, 8), 1

@@ -122,7 +122,11 @@ class BatchLoader:
     def __iter__(self) -> Iterator[dict]:
         order = self._order()
         self._epoch += 1  # next bare __iter__ reshuffles (see set_epoch)
-        n_batches = len(self)
+        # derive the count from the order in hand — len(self) would rerun
+        # the full sampler draw (O(n), and at the already-bumped epoch)
+        n = len(order)
+        n_batches = (n // self.batch_size if self.drop_last
+                     else (n + self.batch_size - 1) // self.batch_size)
         batches = [
             order[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(n_batches)

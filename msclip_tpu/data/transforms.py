@@ -70,7 +70,8 @@ def device_preprocess(images_u8, size: int = 224,
     new_w = size if W <= H else int(size * W / H)
     x = jax.image.resize(x, (B, new_h, new_w, C), "bicubic",
                          antialias=antialias)
-    # torchvision CenterCrop rounds .5 up
+    # torchvision CenterCrop: int(round(margin/2)) — Python round() is
+    # half-to-EVEN (58.5 -> 58), not half-up
     top = int(round((new_h - size) / 2.0))
     left = int(round((new_w - size) / 2.0))
     x = jax.lax.dynamic_slice(

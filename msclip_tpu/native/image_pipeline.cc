@@ -240,9 +240,14 @@ int decode_eval_impl(const uint8_t* data, size_t len, int size,
   }
   std::vector<uint8_t> resized = resample(img.data(), w, h, 0, 0, w, h,
                                           nw, nh);
-  // CenterCrop
-  int left = static_cast<int>(std::lround((nw - size) / 2.0));
-  int top = static_cast<int>(std::lround((nh - size) / 2.0));
+  // CenterCrop. Python round() / torchvision round half to EVEN: for an
+  // odd margin (offset = *.5) Python int(round(58.5)) == 58, while
+  // std::lround's half-away-from-zero gave 59 — a one-pixel crop shift
+  // against pil_eval_transform on every aspect ratio whose post-resize
+  // margin is odd. std::rint under the default FE_TONEAREST mode is
+  // half-to-even, matching Python exactly.
+  int left = static_cast<int>(std::rint((nw - size) / 2.0));
+  int top = static_cast<int>(std::rint((nh - size) / 2.0));
   std::vector<uint8_t> crop(static_cast<size_t>(size) * size * 3);
   for (int y = 0; y < size; ++y)
     std::memcpy(crop.data() + static_cast<size_t>(y) * size * 3,

@@ -12,10 +12,17 @@ B=256, ViT-B/32):
 * Mosaic's in-kernel matmul reaches ~131 TF/s at these shapes vs ~296 TF/s
   for XLA's GEMM emitter, so fusing a GEMM into Pallas costs ~2x its
   compute time and is only worth it when the eliminated HBM round-trips
-  are bigger. That holds for the attention half (qkv round trip is 118
-  MB/layer at B=256: fused 7.7 ms vs 9.3 ms unfused per 11 layers) but
-  NOT for the MLP half (240 GFLOP/layer of GEMM vs one 78 MB intermediate:
-  fused measured slower), so ``fused_block`` keeps the MLP half in XLA.
+  are bigger. At round-1 measurement that held for the attention half
+  (qkv round trip is 118 MB/layer at B=256: fused 7.7 ms vs 9.3 ms
+  unfused per 11 layers) but NOT for the MLP half (240 GFLOP/layer of
+  GEMM vs one 78 MB intermediate: fused measured slower), so
+  ``fused_block`` keeps the MLP half in XLA.
+* Round-2 UPDATE: after the attention-core kernel switched to
+  native-dtype multiplies, the default path (XLA GEMMs + core kernel)
+  beats this hybrid end to end on BOTH models (b32: 10,666 vs 9,418
+  img/s; b16: 3,561 vs 3,033 — at L=197 the tile drops to 2 and the
+  Mosaic GEMM penalty dominates). ``TPU.USE_FUSED_BLOCK`` therefore
+  stays default-off; the kernel remains for memory-constrained serving.
 * 3-D dots (batch dim = samples) beat flattening ``[TB, L, E]`` to
   ``[TB*L, E]`` — the flatten is a relayout at L=50 (not a multiple of the
   bf16 16-row tile), and padding L to 64 costs more FLOPs than the

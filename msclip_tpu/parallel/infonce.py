@@ -126,6 +126,9 @@ def chunked_direction(rows, cols_all, T, labels, B, chunk,
     BASELINE config #5's per-chip work with one chip."""
     b = rows.shape[0]
     rows32 = rows.astype(jnp.float32)
+    tail = cols_all.shape[0] % chunk
+    if tail:  # standalone callers may pass unpadded columns
+        cols_all = jnp.pad(cols_all, ((0, chunk - tail), (0, 0)))
 
     def body(carry, c):
         m, s, gold, tot = carry

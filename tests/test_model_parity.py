@@ -177,6 +177,26 @@ def test_corrupted_alias_fails_loudly(tiny_pair):
         convert_torch_state_dict(sd, model.spec)
 
 
+def test_partial_load_text_only_alias_not_verified(tiny_pair):
+    """strict=False with a partial checkpoint that carries a shared
+    text-side key but NOT its visual source must load (the stored value
+    would be the template's random init — comparing against it is
+    spurious); the same dict under strict=True still fails on coverage."""
+    import torch
+
+    ref, model, _ = tiny_pair
+    key = "transformer.resblocks.1.attn.in_proj_weight"
+    sd_full = ref.state_dict()
+    assert key in sd_full
+    sd = {key: sd_full[key].clone() + 1.0}  # divergent, but source absent
+    params = convert_torch_state_dict(sd, model.spec, strict=False)
+    assert params is not None
+    # strict=True still rejects it (divergent alias or missing coverage,
+    # whichever check fires first)
+    with pytest.raises((KeyError, ValueError)):
+        convert_torch_state_dict(sd, model.spec, strict=True)
+
+
 def test_export_roundtrip(tiny_pair):
     """params -> torch state_dict -> params is the identity, and the
     exported dict loads into the reference module."""

@@ -37,8 +37,12 @@ def _jpeg_bytes(w, h, seed=0, quality=95):
     return buf.getvalue()
 
 
+# (200,305)/(305,200): post-resize long side 341 -> odd crop margin 117,
+# offset 58.5 — regression for the half-to-even crop rounding (std::lround
+# shifted the crop one pixel vs Python round; mean diff was 0.124)
 @pytest.mark.parametrize("wh", [(320, 240), (240, 320), (224, 224),
-                                (1024, 768), (100, 400)])
+                                (1024, 768), (100, 400), (200, 305),
+                                (305, 200)])
 def test_eval_matches_pil(wh):
     from PIL import Image
 
