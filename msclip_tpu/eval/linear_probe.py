@@ -27,14 +27,23 @@ from ..models import MSClipModel
 
 def extract_features(model: MSClipModel, params, dataset, batch_size=256,
                      workers=8, normalize=True) -> Tuple[np.ndarray, np.ndarray]:
-    """Run the frozen image tower over a dataset -> (features, labels)."""
+    """Run the frozen image tower over a dataset -> (features, labels).
+
+    ``batch_size`` is per chip; the loop shards each batch over all
+    local devices (``eval/device.py``)."""
+    from .device import local_batch_sharding
+
+    n_local, sharding = local_batch_sharding()
     encode = jax.jit(
         lambda p, x: model.encode_image(p, x, normalize=normalize)
     )
-    loader = BatchLoader(dataset, batch_size, workers=workers)
+    loader = BatchLoader(dataset, batch_size * n_local, workers=workers)
     feats, labels = [], []
     for batch in loader:
-        f = np.asarray(encode(params, jnp.asarray(batch["image"])))
+        images = jnp.asarray(batch["image"])
+        if sharding is not None:
+            images = jax.device_put(images, sharding)
+        f = np.asarray(encode(params, images))
         mask = batch["mask"]
         feats.append(f[mask])
         labels.append(np.asarray(batch["label"])[mask])

@@ -25,25 +25,35 @@ def encode_corpus(model: MSClipModel, params, image_dataset,
                   captions: Sequence[str], tokenizer=None, batch_size=256,
                   workers=8):
     """Encode all images and captions -> (img_feats [N,E], txt_feats [M,E])."""
+    from .device import local_batch_sharding
+
     tokenizer = tokenizer or ClipTokenizer()
+    n_local, sharding = local_batch_sharding()
+    batch_size = batch_size * n_local  # per-chip -> per-dispatch
     encode_img = jax.jit(lambda p, x: model.encode_image(p, x))
     encode_txt = jax.jit(lambda p, t: model.encode_text(p, t))
 
     feats = []
     for batch in BatchLoader(image_dataset, batch_size, workers=workers):
-        f = np.asarray(encode_img(params, jnp.asarray(batch["image"])))
+        images = jnp.asarray(batch["image"])
+        if sharding is not None:
+            images = jax.device_put(images, sharding)
+        f = np.asarray(encode_img(params, images))
         feats.append(f[batch["mask"]])
     img_feats = np.concatenate(feats)
 
     tokens = tokenizer(list(captions), model.spec.context_length)
     pad = (-len(tokens)) % batch_size
-    if pad:
-        tokens = np.concatenate([tokens, tokens[:pad]])
+    if pad:  # repeat row 0: always long enough, even for tiny caption sets
+        tokens = np.concatenate(
+            [tokens, np.repeat(tokens[:1], pad, axis=0)]
+        )
     tfeats = []
     for i in range(0, len(tokens), batch_size):
-        tfeats.append(
-            np.asarray(encode_txt(params, jnp.asarray(tokens[i:i + batch_size])))
-        )
+        chunk = jnp.asarray(tokens[i:i + batch_size])
+        if sharding is not None:
+            chunk = jax.device_put(chunk, sharding)
+        tfeats.append(np.asarray(encode_txt(params, chunk)))
     txt_feats = np.concatenate(tfeats)[: len(captions)]
     return img_feats, txt_feats
 

@@ -153,10 +153,17 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
         dataset = make_dataset(config)
     from ..utils.comm import comm, gather_arrays, reduce_dict
 
-    # each process evaluates a stripe of the dataset; metrics are reduced
+    # Two-level data parallelism: each process evaluates a stripe of the
+    # dataset (metrics reduced across processes), and within a process
+    # the batch is sharded over all local chips — TEST.BATCH_SIZE_PER_GPU
+    # keeps its reference meaning (per-chip batch), so a v5e-8 host runs
+    # an 8x global batch with XLA splitting the image tower per chip.
+    from .device import local_batch_sharding
+
+    n_local, batch_sharding = local_batch_sharding()
     loader = BatchLoader(
         dataset,
-        batch_size=config.TEST.BATCH_SIZE_PER_GPU,
+        batch_size=config.TEST.BATCH_SIZE_PER_GPU * n_local,
         workers=config.WORKERS,
         shard=(comm.rank, comm.world_size),
     )
@@ -176,10 +183,10 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
     # reading batch i's result back to the host
     pending = None
     for batch in loader:
-        dispatched = (
-            logits_fn(params, weights, jnp.asarray(batch["image"])),
-            batch,
-        )
+        images = jnp.asarray(batch["image"])
+        if batch_sharding is not None:
+            images = jax.device_put(images, batch_sharding)
+        dispatched = (logits_fn(params, weights, images), batch)
         if pending is not None:
             _consume(pending, metric, top1, all_logits, all_y)
             n_images += int(pending[1]["mask"].sum())
