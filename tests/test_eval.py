@@ -129,3 +129,11 @@ def test_run_retrieval_identity():
     for d in (out["i2t"], out["t2i"]):
         assert set(d) == {1, 5, 10}
         assert all(0.0 <= v <= 100.0 for v in d.values())
+
+    # tiny corpus << one dispatch batch: the token pad must come from
+    # row repetition (the [:pad] slice under-padded when pad > corpus,
+    # breaking the local-device batch split)
+    out2 = run_retrieval(model, params, SyntheticImageDataset(
+        n=2, size=32, n_classes=2), ["a", "b"], [0, 1],
+        batch_size=8, workers=1)
+    assert set(out2["i2t"]) == {1, 5, 10}
