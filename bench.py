@@ -62,6 +62,10 @@ def _bench_eval(model_yaml: str, batch: int, n_iters: int) -> float:
         from msclip_tpu.models.folding import fold_params_for_eval
 
         params = fold_params_for_eval(params, spec)
+    if os.environ.get("BENCH_INT8", "0") != "0":
+        from msclip_tpu.models.quantize import quantize_params_for_eval
+
+        params = quantize_params_for_eval(params, spec)
 
     n_classes = 1000
     classifier = jax.random.normal(

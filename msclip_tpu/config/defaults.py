@@ -174,6 +174,8 @@ def get_default_config() -> CfgNode:
     c.TPU.REMAT = False               # jax.checkpoint on trunk blocks
     c.TPU.ZERO1 = False               # shard optimizer state over 'data'
                                       # (TPU-native DeepSpeed ZeRO stage 1)
+    c.TPU.INT8_EVAL = False           # W8A8 trunk GEMMs at eval
+                                      # (models/quantize.py; int8 MXU)
     c.TPU.SEED = 0                    # rng seed: init, DropPath, loaders
 
     return c

@@ -35,11 +35,14 @@ def build_zeroshot_classifier(model: MSClipModel, params, tokenizer,
     Per class: encode all templates (L2-normed), average, re-normalize
     (reference ``zeroshot_classifier``, tools/zero_shot.py:122-134).
     """
+    from .device import local_batch_sharding
+
     n_classes, n_templates = len(classnames), len(templates)
     texts = [t.format(c) for c in classnames for t in templates]
     tokens = tokenizer(texts, model.spec.context_length)  # [C*T, 77]
 
     encode = jax.jit(lambda p, t: model.encode_text(p, t))
+    _, sharding = local_batch_sharding()  # chunk_size % n_local must hold
     total = tokens.shape[0]
     # pad to a whole number of chunks for a single compiled shape
     pad = (-total) % chunk_size
@@ -47,7 +50,12 @@ def build_zeroshot_classifier(model: MSClipModel, params, tokenizer,
         tokens = np.concatenate([tokens, tokens[:pad]], axis=0)
     embeds = []
     for i in range(0, tokens.shape[0], chunk_size):
-        embeds.append(encode(params, jnp.asarray(tokens[i : i + chunk_size])))
+        chunk = jnp.asarray(tokens[i : i + chunk_size])
+        if sharding is not None and chunk.shape[0] % len(
+            sharding.mesh.devices
+        ) == 0:
+            chunk = jax.device_put(chunk, sharding)
+        embeds.append(encode(params, chunk))
     embeds = jnp.concatenate(embeds, axis=0)[:total]
     embeds = embeds.reshape(n_classes, n_templates, -1)
     class_embeds = embeds.mean(axis=1)
@@ -132,6 +140,10 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
         from ..models.folding import fold_params_for_eval
 
         params = fold_params_for_eval(params, model.spec)
+    if config.TPU.get("INT8_EVAL", False):
+        from ..models.quantize import quantize_params_for_eval
+
+        params = quantize_params_for_eval(params, model.spec)
 
     tokenizer = ClipTokenizer()
     prompt_name = prompt_dataset or config.DATASET.DATASET

@@ -116,10 +116,31 @@ def quick_gelu(x):
 
 
 def linear(p, x):
+    if "w_int8" in p:
+        return _int8_linear(p, x)
     # HIGHEST keeps fp32 inputs in true fp32 on the MXU (the TPU default
     # decomposes fp32 matmuls to bf16 passes); bf16 inputs are unaffected.
     y = jnp.dot(x, p["w"].astype(x.dtype),
                 precision=jax.lax.Precision.HIGHEST)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _int8_linear(p, x):
+    """W8A8 GEMM (``models/quantize.py``): per-output-channel int8
+    weights, dynamic per-token symmetric activation quant, int32
+    accumulate on the MXU (2x the bf16 rate on v5e), fp32 dequant."""
+    xf = x.astype(jnp.float32)
+    s_a = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s_a = jnp.maximum(s_a, 1e-8)
+    xq = jnp.clip(jnp.round(xf / s_a), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, p["w_int8"],
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = (y.astype(jnp.float32) * s_a * p["w_scale"]).astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -141,7 +162,7 @@ def attention(p, x, n_head, mask=None, use_pallas=False,
     """
     B, L, E = x.shape
     head_dim = E // n_head
-    qkv = linear({"w": p["qkv_w"], "b": p["qkv_b"]}, x)  # [B, L, 3E]
+    qkv = linear(_proj_params(p, "qkv"), x)  # [B, L, 3E]
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(t):
@@ -172,7 +193,16 @@ def attention(p, x, n_head, mask=None, use_pallas=False,
         out = jnp.einsum("bhlm,bmhd->blhd", weights, vh,
                          precision=jax.lax.Precision.HIGHEST)
         out = out.reshape(B, L, E)
-    return linear({"w": p["out_w"], "b": p["out_b"]}, out)
+    return linear(_proj_params(p, "out"), out)
+
+
+def _proj_params(p, name):
+    """Attention projection params for ``linear``: fp32/bf16 weight or
+    the int8 pair when the block was quantized (models/quantize.py)."""
+    if f"{name}_w_int8" in p:
+        return {"w_int8": p[f"{name}_w_int8"],
+                "w_scale": p[f"{name}_w_scale"], "b": p[f"{name}_b"]}
+    return {"w": p[f"{name}_w"], "b": p[f"{name}_b"]}
 
 
 def drop_path(rng, x, rate):

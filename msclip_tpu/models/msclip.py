@@ -565,7 +565,11 @@ def resolve_text_block(params, spec: MSClipSpec, i: int):
     attn = {}
     for k in ("qkv_w", "qkv_b", "out_w", "out_b"):
         src = vis["attn"] if f"attn.{k}" in shared else own["attn"]
-        attn[k] = src[k]
+        if k in src:
+            attn[k] = src[k]
+        else:  # int8-quantized eval weights (models/quantize.py)
+            attn[k + "_int8"] = src[k + "_int8"]
+            attn[k + "_scale"] = src[k + "_scale"]
     return {
         "ln_1": own["ln_1"],
         "ln_2": own["ln_2"],
