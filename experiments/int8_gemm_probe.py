@@ -16,7 +16,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+B = (int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit()
+     else 256)
 K_ITERS = 32
 
 # (label, M, K, N): the four trunk GEMMs at b32 (L=50) and b16 (L=197)
@@ -91,5 +92,62 @@ def main():
                   flush=True)
 
 
+
+
+def probe_dynamic():
+    """The model-shaped path: bf16 [B, L, E] activations, dynamic
+    per-token quant -> int8 GEMM -> fp32 dequant, vs plain bf16 GEMM.
+    Isolates whether the end-to-end int8 loss is the quant chain or the
+    GEMM/layout itself."""
+    import functools
+
+    B, Lq, E, N = 256, 197, 768, 2304
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, Lq, E), jnp.bfloat16)
+    wb = jax.random.normal(jax.random.PRNGKey(1), (E, N), jnp.bfloat16)
+    w8 = (jax.random.normal(jax.random.PRNGKey(1), (E, N)) * 30).astype(
+        jnp.int8)
+    ws = jax.random.uniform(jax.random.PRNGKey(2), (N,), jnp.float32)
+    flops = 2.0 * B * Lq * E * N
+
+    def quant(xf):
+        s = jnp.maximum(jnp.max(jnp.abs(xf), -1, keepdims=True) / 127.0,
+                        1e-8)
+        xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+        return xq, s
+
+    def v_bf16(x, w, i):
+        return jnp.dot(x + i.astype(x.dtype) * 0, w,
+                       preferred_element_type=jnp.float32)
+
+    def v_quant_only(x, w, i):
+        xq, s = quant((x + i.astype(x.dtype) * 0).astype(jnp.float32))
+        return xq.astype(jnp.float32).sum() + s.sum() + w[0, 0] * 0
+
+    def v_full(x, w, i):
+        xq, s = quant((x + i.astype(x.dtype) * 0).astype(jnp.float32))
+        y = jax.lax.dot_general(xq, w, (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * s * ws).astype(jnp.bfloat16)
+
+    def v_pre8(x, w, i):
+        # pre-quantized activation: GEMM + dequant only
+        y = jax.lax.dot_general(x + i.astype(jnp.int8) * 0, w,
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * ws).astype(jnp.bfloat16)
+
+    x8 = (jax.random.normal(jax.random.PRNGKey(3), (B, Lq, E)) * 30).astype(
+        jnp.int8)
+    print(f"dynamic-quant path [{B},{Lq},{E}]x[{E},{N}]", flush=True)
+    bench("bf16 3d", v_bf16, x, wb, flops)
+    bench("quant only", v_quant_only, x, wb, 0.0)
+    bench("quant+gemm+dq", v_full, x, w8, flops)
+    bench("pre8 gemm+dq", v_pre8, x8, w8, flops)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "dyn":
+        probe_dynamic()
+    else:
+        main()

@@ -160,40 +160,43 @@ def attention(p, x, n_head, mask=None, use_pallas=False,
     scores/softmax/context core runs as one fused Pallas kernel (scores
     never leave VMEM).
     """
-    B, L, E = x.shape
-    head_dim = E // n_head
     qkv = linear(_proj_params(p, "qkv"), x)  # [B, L, 3E]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = _attention_core(qkv, n_head, mask, use_pallas=use_pallas,
+                          pallas_interpret=pallas_interpret)
+    return linear(_proj_params(p, "out"), out)
 
-    def heads(t):
-        return t.reshape(B, L, n_head, head_dim).transpose(0, 2, 1, 3)
 
+def _attention_core(qkv, n_head, mask, use_pallas=False,
+                    pallas_interpret=False):
+    """``[B, L, 3E]`` fused-projection output -> ``[B, L, E]`` context."""
     if use_pallas:
         from ..ops.attention import fused_attention_qkv
 
-        out = fused_attention_qkv(qkv, n_head, mask,
-                                  interpret=pallas_interpret)
-    else:
-        # head split WITHOUT transposing to [B, H, L, D]: the einsums
-        # contract directly on the [B, L, H, D] layout, letting XLA fold
-        # the head dimension into the GEMMs instead of materializing
-        # transposed copies in HBM (~17% faster trunk on v5e).
-        qh = q.reshape(B, L, n_head, head_dim) \
-            * jnp.asarray(head_dim ** -0.5, x.dtype)
-        kh = k.reshape(B, L, n_head, head_dim)
-        vh = v.reshape(B, L, n_head, head_dim)
-        scores = jnp.einsum(
-            "blhd,bmhd->bhlm", qh, kh,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        if mask is not None:
-            scores = scores + mask.astype(scores.dtype)
-        weights = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhlm,bmhd->blhd", weights, vh,
-                         precision=jax.lax.Precision.HIGHEST)
-        out = out.reshape(B, L, E)
-    return linear(_proj_params(p, "out"), out)
+        return fused_attention_qkv(qkv, n_head, mask,
+                                   interpret=pallas_interpret)
+    B, L, three_e = qkv.shape
+    E = three_e // 3
+    head_dim = E // n_head
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    # head split WITHOUT transposing to [B, H, L, D]: the einsums
+    # contract directly on the [B, L, H, D] layout, letting XLA fold
+    # the head dimension into the GEMMs instead of materializing
+    # transposed copies in HBM (~17% faster trunk on v5e).
+    qh = q.reshape(B, L, n_head, head_dim) \
+        * jnp.asarray(head_dim ** -0.5, qkv.dtype)
+    kh = k.reshape(B, L, n_head, head_dim)
+    vh = v.reshape(B, L, n_head, head_dim)
+    scores = jnp.einsum(
+        "blhd,bmhd->bhlm", qh, kh,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if mask is not None:
+        scores = scores + mask.astype(scores.dtype)
+    weights = jax.nn.softmax(scores, axis=-1).astype(qkv.dtype)
+    out = jnp.einsum("bhlm,bmhd->blhd", weights, vh,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(B, L, E)
 
 
 def _proj_params(p, name):
@@ -213,11 +216,60 @@ def drop_path(rng, x, rate):
     return x * mask.astype(x.dtype) / keep
 
 
+def _int8_matmul(xq, s, w_int8, w_scale, b, out_dtype):
+    """Pre-quantized activations (int8 + per-token scales) x int8 weights,
+    int32 MXU accumulate, fused fp32 dequant epilogue -> ``out_dtype``."""
+    y = jax.lax.dot_general(
+        xq, w_int8, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = (y.astype(jnp.float32) * s[..., None] * w_scale).astype(out_dtype)
+    if b is not None:
+        y = y + b.astype(out_dtype)
+    return y
+
+
+def _int8_block(p, x, n_head, mask, eps, use_pallas, pallas_interpret=False):
+    """Pre-LN block over int8-quantized GEMMs with FUSED activation quant:
+    ln_quant / gelu_quant (ops/quant.py) emit int8 directly in one VMEM
+    pass, so the fp32 activation-quant chain that made the unfused W8A8
+    path a wash (PARITY.md) never materializes. Attention core stays
+    bf16."""
+    from ..ops.quant import gelu_quant, ln_quant
+
+    attn_p, mlp_p = p["attn"], p["mlp"]
+    xq, s = ln_quant(x, p["ln_1"], eps, interpret=pallas_interpret)
+    qkv = _int8_matmul(xq, s, attn_p["qkv_w_int8"], attn_p["qkv_w_scale"],
+                       attn_p["qkv_b"], x.dtype)
+    ctx = _attention_core(qkv, n_head, mask, use_pallas=use_pallas,
+                          pallas_interpret=pallas_interpret)
+    x = x + _int8_linear(
+        {"w_int8": attn_p["out_w_int8"], "w_scale": attn_p["out_w_scale"],
+         "b": attn_p["out_b"]}, ctx)
+    hq, s2 = ln_quant(x, p["ln_2"], eps, interpret=pallas_interpret)
+    mid = _int8_matmul(hq, s2, mlp_p["c_fc"]["w_int8"],
+                       mlp_p["c_fc"]["w_scale"], mlp_p["c_fc"]["b"],
+                       x.dtype)
+    mq, s3 = gelu_quant(mid, interpret=pallas_interpret)
+    out = _int8_matmul(mq, s3, mlp_p["c_proj"]["w_int8"],
+                       mlp_p["c_proj"]["w_scale"], mlp_p["c_proj"]["b"],
+                       x.dtype)
+    return x + out
+
+
 def transformer_block(p, x, n_head, mask=None, eps=1e-12, use_pallas=False,
                       drop_path_rate=0.0, rng=None):
     """Pre-LN residual attention block (reference ``:1027-1028``), with
     optional stochastic depth (``DropPath``; active only in training when
     an rng is supplied)."""
+    if use_pallas and drop_path_rate == 0.0 \
+            and "qkv_w_int8" in p.get("attn", {}) and x.shape[1] >= 96:
+        # quantized eval block (models/quantize.py): fused-quant fast
+        # path. Only at long sequence — measured on v5e at B=256: the
+        # fused kernels win at L=197 (3,589 vs 3,495 img/s unfused) but
+        # lose at L=50 (8,186 vs 9,600), where four extra kernel
+        # launches per block outweigh the saved quant passes.
+        return _int8_block(p, x, n_head, mask, eps, use_pallas)
     attn_out = attention(p["attn"], layer_norm(p["ln_1"], x, eps), n_head,
                          mask, use_pallas=use_pallas)
     if drop_path_rate > 0.0 and rng is not None:

@@ -66,6 +66,11 @@ def quantize_params_for_eval(params, spec):
     """Return a params tree with every owned trunk block (visual AND
     text-owned non-shared blocks) quantized. Shared text blocks resolve
     the quantized visual tensors via ``resolve_text_block``."""
+    if getattr(spec, "use_fused_block", False):
+        raise ValueError(
+            "TPU.INT8_EVAL and TPU.USE_FUSED_BLOCK are mutually exclusive "
+            "(the bf16 half-block megakernel reads full-precision weights)"
+        )
     params = dict(params)
     visual = dict(params["visual"])
     visual["blocks"] = [_quantize_block(b) for b in visual["blocks"]]

@@ -90,6 +90,52 @@ def test_int8_model_drift_bounded():
         assert cos.min() > 0.995, cos
 
 
+def test_ln_quant_kernel_matches_reference():
+    """Fused LN+quant kernel (interpret mode) == layer_norm followed by
+    the row-quant reference math, including scale reconstruction."""
+    from msclip_tpu.ops.quant import gelu_quant, ln_quant
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 10, 64)).astype(np.float32))
+    ln_p = {"scale": jnp.asarray(rng.standard_normal(64, ).astype(
+        np.float32)), "bias": jnp.asarray(rng.standard_normal(64).astype(
+            np.float32))}
+
+    q, s = ln_quant(x, ln_p, eps=1e-12, interpret=True)
+    h = np.asarray(L.layer_norm(ln_p, x, eps=1e-12))
+    s_ref = np.maximum(np.abs(h).max(-1) / 127.0, 1e-8)
+    q_ref = np.clip(np.round(h / s_ref[..., None]), -127, 127)
+    np.testing.assert_array_equal(np.asarray(q), q_ref.astype(np.int8))
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=1e-6)
+
+    g, sg = gelu_quant(x, interpret=True)
+    hg = np.asarray(L.quick_gelu(x))
+    sg_ref = np.maximum(np.abs(hg).max(-1) / 127.0, 1e-8)
+    gg_ref = np.clip(np.round(hg / sg_ref[..., None]), -127, 127)
+    np.testing.assert_array_equal(np.asarray(g), gg_ref.astype(np.int8))
+    np.testing.assert_allclose(np.asarray(sg), sg_ref, rtol=1e-6)
+
+
+def test_int8_fused_block_matches_unfused():
+    """The fused-quant block (Pallas ln_quant/gelu_quant + int8 GEMMs)
+    must match the unfused int8 path (generic dispatch) — same
+    quantization points, different fusion."""
+    from msclip_tpu.models.quantize import _quantize_block
+
+    rng = np.random.default_rng(4)
+    E, H = 64, 2
+    blk = L.init_block(jax.random.PRNGKey(5), E)
+    qblk = _quantize_block(blk)
+    x = jnp.asarray(0.1 * rng.standard_normal((2, 10, E)).astype(
+        np.float32))
+
+    want = L.transformer_block(qblk, x, H, eps=1e-12, use_pallas=False)
+    got = L._int8_block(qblk, x, H, None, 1e-12, use_pallas=True,
+                        pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_int8_skips_extension_blocks():
     """Blocks carrying experimental-zoo params keep full precision."""
     spec = _spec()
