@@ -95,6 +95,34 @@ def test_run_zero_shot_synthetic():
     assert stats["n_images"] == 16
 
 
+def test_extract_features_sharded_matches_direct():
+    """The local-device batch sharding in the feature loop
+    (eval/device.py — batches split over the 8-device mesh) must be a
+    pure placement change: features equal a direct unsharded forward of
+    the same images."""
+    from msclip_tpu.data.datasets import SyntheticImageDataset
+    from msclip_tpu.eval.linear_probe import extract_features
+    from msclip_tpu.models import MSClipModel, MSClipSpec
+
+    spec = MSClipSpec(
+        embed_dim=16, image_resolution=32, vision_width=64, vision_layers=2,
+        vision_patch_size=16, vision_heads=1, text_width=64, text_heads=1,
+        text_layers=2, vocab_size=128, context_length=16,
+    )
+    model = MSClipModel(spec)
+    params = model.init(jax.random.PRNGKey(0))
+    ds = SyntheticImageDataset(n=12, size=32, n_classes=3)
+
+    feats, labels = extract_features(model, params, ds, batch_size=2,
+                                     workers=1)
+    assert feats.shape == (12, 16)
+
+    images = np.stack([ds[i][0] for i in range(12)]).astype(np.float32)
+    want = np.asarray(model.encode_image(params, jnp.asarray(images)))
+    np.testing.assert_allclose(feats, want, atol=1e-5)  # loader keeps order
+    np.testing.assert_array_equal(labels, [ds[i][1] for i in range(12)])
+
+
 def test_recall_at_k():
     from msclip_tpu.eval.retrieval import recall_at_k
 
