@@ -40,9 +40,10 @@ def extract_features(model: MSClipModel, params, dataset, batch_size=256,
     loader = BatchLoader(dataset, batch_size * n_local, workers=workers)
     feats, labels = [], []
     for batch in loader:
-        images = jnp.asarray(batch["image"])
-        if sharding is not None:
-            images = jax.device_put(images, sharding)
+        # one sharded host->chips transfer, straight from numpy
+        images = (jax.device_put(batch["image"], sharding)
+                  if sharding is not None
+                  else jnp.asarray(batch["image"]))
         f = np.asarray(encode(params, images))
         mask = batch["mask"]
         feats.append(f[mask])

@@ -35,9 +35,10 @@ def encode_corpus(model: MSClipModel, params, image_dataset,
 
     feats = []
     for batch in BatchLoader(image_dataset, batch_size, workers=workers):
-        images = jnp.asarray(batch["image"])
-        if sharding is not None:
-            images = jax.device_put(images, sharding)
+        # one sharded host->chips transfer, straight from numpy
+        images = (jax.device_put(batch["image"], sharding)
+                  if sharding is not None
+                  else jnp.asarray(batch["image"]))
         f = np.asarray(encode_img(params, images))
         feats.append(f[batch["mask"]])
     img_feats = np.concatenate(feats)
@@ -50,9 +51,9 @@ def encode_corpus(model: MSClipModel, params, image_dataset,
         )
     tfeats = []
     for i in range(0, len(tokens), batch_size):
-        chunk = jnp.asarray(tokens[i:i + batch_size])
-        if sharding is not None:
-            chunk = jax.device_put(chunk, sharding)
+        chunk = tokens[i:i + batch_size]
+        chunk = (jax.device_put(chunk, sharding) if sharding is not None
+                 else jnp.asarray(chunk))
         tfeats.append(np.asarray(encode_txt(params, chunk)))
     txt_feats = np.concatenate(tfeats)[: len(captions)]
     return img_feats, txt_feats

@@ -44,17 +44,23 @@ def build_zeroshot_classifier(model: MSClipModel, params, tokenizer,
     encode = jax.jit(lambda p, t: model.encode_text(p, t))
     _, sharding = local_batch_sharding()  # chunk_size % n_local must hold
     total = tokens.shape[0]
-    # pad to a whole number of chunks for a single compiled shape
+    # pad to a whole number of chunks for a single compiled shape;
+    # repeat row 0 so the pad is always long enough even when the whole
+    # prompt set is smaller than one chunk
     pad = (-total) % chunk_size
     if pad:
-        tokens = np.concatenate([tokens, tokens[:pad]], axis=0)
+        tokens = np.concatenate(
+            [tokens, np.repeat(tokens[:1], pad, axis=0)], axis=0
+        )
     embeds = []
     for i in range(0, tokens.shape[0], chunk_size):
-        chunk = jnp.asarray(tokens[i : i + chunk_size])
+        chunk = tokens[i : i + chunk_size]
         if sharding is not None and chunk.shape[0] % len(
             sharding.mesh.devices
         ) == 0:
-            chunk = jax.device_put(chunk, sharding)
+            chunk = jax.device_put(chunk, sharding)  # direct sharded xfer
+        else:
+            chunk = jnp.asarray(chunk)
         embeds.append(encode(params, chunk))
     embeds = jnp.concatenate(embeds, axis=0)[:total]
     embeds = embeds.reshape(n_classes, n_templates, -1)
@@ -195,9 +201,12 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
     # reading batch i's result back to the host
     pending = None
     for batch in loader:
-        images = jnp.asarray(batch["image"])
-        if batch_sharding is not None:
-            images = jax.device_put(images, batch_sharding)
+        # device_put straight from numpy: one sharded host->chips
+        # transfer (jnp.asarray first would commit the full batch to
+        # device 0 and re-distribute)
+        images = (jax.device_put(batch["image"], batch_sharding)
+                  if batch_sharding is not None
+                  else jnp.asarray(batch["image"]))
         dispatched = (logits_fn(params, weights, images), batch)
         if pending is not None:
             _consume(pending, metric, top1, all_logits, all_y)

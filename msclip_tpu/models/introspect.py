@@ -26,7 +26,8 @@ def attention_maps(p, x, n_head, mask=None, raw=False):
     (post-LN). ``raw=True`` returns pre-softmax scores (OUTPUT_ATTN_RAW)."""
     B, Lq, E = x.shape
     head_dim = E // n_head
-    qkv = L.linear({"w": p["qkv_w"], "b": p["qkv_b"]}, x)
+    # _proj_params handles both fp and int8-quantized (w_int8) blocks
+    qkv = L.linear(L._proj_params(p, "qkv"), x)
     q, k, _ = jnp.split(qkv, 3, axis=-1)
 
     def heads(t):

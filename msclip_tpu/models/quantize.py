@@ -40,6 +40,8 @@ def _quantize_block(blk):
         "qkv_w", "qkv_b", "out_w", "out_b"
     }:
         return blk
+    if "mlp" in blk and set(blk["mlp"].keys()) - {"c_fc", "c_proj"}:
+        return blk
 
     out = dict(blk)
     if "attn" in blk:
@@ -51,9 +53,9 @@ def _quantize_block(blk):
                 attn[name + "_scale"] = s
         out["attn"] = attn
     if "mlp" in blk:
-        mlp = {}
+        mlp = dict(blk["mlp"])
         for name in ("c_fc", "c_proj"):
-            lin = dict(blk["mlp"][name])
+            lin = dict(mlp[name])
             q, s = quantize_linear_weight(lin.pop("w"))
             lin["w_int8"] = q
             lin["w_scale"] = s
@@ -70,6 +72,16 @@ def quantize_params_for_eval(params, spec):
         raise ValueError(
             "TPU.INT8_EVAL and TPU.USE_FUSED_BLOCK are mutually exclusive "
             "(the bf16 half-block megakernel reads full-precision weights)"
+        )
+    if spec.ext.any_active:
+        # extension params (LoRA/CvT/adapters/gumbel...) live OUTSIDE the
+        # trunk block dicts, so the per-block skip below cannot see them —
+        # and extended_attention reads the fp ``qkv_w`` directly. The
+        # experimental zoo stays full precision.
+        raise ValueError(
+            "TPU.INT8_EVAL does not support the experimental extension "
+            "zoo (spec.ext is active); disable the CUSTOM extensions or "
+            "the int8 mode"
         )
     params = dict(params)
     visual = dict(params["visual"])

@@ -82,14 +82,11 @@ def _gelu_quant_kernel(x_ref, q_ref, s_ref):
 
 def _run(kernel, x, extra_inputs, extra_specs, interpret):
     B, L, E = x.shape
+    # _pick_tb halves until tb | B, so no batch padding is ever needed
     tb = _pick_tb(B, L, E, x.dtype.itemsize)
-    pad_b = (-B) % tb
-    if pad_b:
-        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
-    Bp = B + pad_b
     q, s = pl.pallas_call(
         kernel,
-        grid=(Bp // tb,),
+        grid=(B // tb,),
         in_specs=[
             pl.BlockSpec((tb, L, E), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -102,13 +99,11 @@ def _run(kernel, x, extra_inputs, extra_specs, interpret):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Bp, L, E), jnp.int8),
-            jax.ShapeDtypeStruct((Bp, L, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, E), jnp.int8),
+            jax.ShapeDtypeStruct((B, L, 1), jnp.float32),
         ),
         interpret=interpret,
     )(x, *extra_inputs)
-    if pad_b:
-        q, s = q[:B], s[:B]
     return q, s[..., 0]
 
 

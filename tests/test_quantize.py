@@ -6,6 +6,7 @@ the model-level drift vs the full-precision path.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -136,14 +137,29 @@ def test_int8_fused_block_matches_unfused():
                                atol=2e-5, rtol=1e-4)
 
 
-def test_int8_skips_extension_blocks():
-    """Blocks carrying experimental-zoo params keep full precision."""
+def test_int8_skips_unknown_key_blocks():
+    """Blocks carrying unexpected params keep full precision (defensive
+    guard for future block variants)."""
     spec = _spec()
     model = MSClipModel(spec)
     params = model.init(jax.random.PRNGKey(0))
     blocks = list(params["visual"]["blocks"])
-    blocks[1] = {**blocks[1], "adapter": {"w": jnp.zeros((4, 4))}}
+    blocks[1] = {**blocks[1], "extra": {"w": jnp.zeros((4, 4))}}
     params = {**params, "visual": {**params["visual"], "blocks": blocks}}
     q = quantize_params_for_eval(params, spec)
     assert "qkv_w" in q["visual"]["blocks"][1]["attn"]  # untouched
     assert "qkv_w_int8" in q["visual"]["blocks"][0]["attn"]
+
+
+def test_int8_rejects_extension_spec():
+    """Extension params live OUTSIDE the block dicts (the forward reads
+    fp qkv_w directly), so an ext-active spec must refuse to quantize
+    instead of crashing at trace time (r2 review finding)."""
+    from msclip_tpu.models.extensions import ExtSpec
+
+    spec = _spec(ext=ExtSpec(adapter_flag=True, adapter_dim=4,
+                             adapter_layers=(0,)))
+    model = MSClipModel(spec)
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="extension"):
+        quantize_params_for_eval(params, spec)
