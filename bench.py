@@ -37,9 +37,9 @@ def _build(model_yaml: str):
         cfg, os.path.join(root, f"experiments/model/{model_yaml}.yaml")
     )
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-    # fused Pallas attention core is the default (BENCH_PALLAS=0 disables)
-    if os.environ.get("BENCH_PALLAS", "1") != "0":
-        cfg.TPU.USE_PALLAS = True
+    # fused Pallas attention core is the default (BENCH_PALLAS=0 disables;
+    # explicit bool — the config's 'auto' would resolve to True on TPU)
+    cfg.TPU.USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") != "0"
     cfg.TPU.CONV_LAYOUT = os.environ.get("BENCH_CONV_LAYOUT", "NHWC")
     if os.environ.get("BENCH_FUSED_BLOCK", "0") != "0":
         cfg.TPU.USE_FUSED_BLOCK = True

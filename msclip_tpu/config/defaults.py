@@ -166,7 +166,11 @@ def get_default_config() -> CfgNode:
     # ---- TPU-native additions (not in the reference) ----
     c.TPU = CfgNode(open_node=True)
     c.TPU.COMPUTE_DTYPE = "float32"   # 'bfloat16' for production
-    c.TPU.USE_PALLAS = False          # fused Pallas kernels on the hot path
+    c.TPU.USE_PALLAS = "auto"         # fused Pallas kernels on the hot
+                                      # path: 'auto' = on for the TPU
+                                      # backend, off elsewhere (CPU runs
+                                      # use the XLA core; kernels there
+                                      # need interpret mode)
     c.TPU.MESH_DATA = -1              # -1: all devices on the data axis
     c.TPU.MESH_MODEL = 1              # tensor-parallel axis size
     c.TPU.SHARDED_LOSS = False        # chunked global-batch InfoNCE

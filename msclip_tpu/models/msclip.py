@@ -230,6 +230,22 @@ class MSClipSpec:
         return tuple(keys)
 
 
+def _resolve_use_pallas(value) -> bool:
+    """``TPU.USE_PALLAS='auto'``: fused kernels on the TPU backend
+    (measured: attention core 1.5x over the XLA einsums at both b32/b16,
+    text tower 110 vs 178 ms/1024, train step +18%), XLA path elsewhere
+    (Pallas on CPU needs interpret mode, which the kernel tests drive
+    explicitly)."""
+    if isinstance(value, str):
+        if value.lower() == "auto":
+            import jax
+
+            # 'axon' is this environment's tunneled-TPU platform name
+            return jax.default_backend() in ("tpu", "axon")
+        return value.lower() in ("1", "true", "yes")
+    return bool(value)
+
+
 def spec_from_config(config) -> MSClipSpec:
     """Build an MSClipSpec from a merged config tree, reading the same keys
     as the reference factory (``get_clip_model`` ``:3182-3227``) and
@@ -315,7 +331,7 @@ def spec_from_config(config) -> MSClipSpec:
         share_bottom_layer=custom.get("SHARE_BOTTOM_LAYER", False),
         compute_dtype=config.TPU.COMPUTE_DTYPE,
         remat=config.TPU.REMAT,
-        use_pallas=config.TPU.USE_PALLAS,
+        use_pallas=_resolve_use_pallas(config.TPU.USE_PALLAS),
         use_fused_block=config.TPU.get("USE_FUSED_BLOCK", False),
         conv_layout=config.TPU.get("CONV_LAYOUT", "NHWC"),
         vision_drop_path=vision.get("DROP_PATH", 0.0),

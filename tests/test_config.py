@@ -105,3 +105,19 @@ def test_dump_roundtrip():
     parsed = yaml.safe_load(d)
     assert parsed["TRAIN"]["LR"] == 0.001
     assert "__is_open__" not in d
+
+
+def test_use_pallas_auto_resolution(repo_root):
+    """TPU.USE_PALLAS='auto' (the default) resolves by backend: False on
+    the CPU test mesh, and explicit values pass through."""
+    from msclip_tpu.models import spec_from_config
+
+    c = get_default_config()
+    update_config(c, str(repo_root / "experiments/model/b32-yfcc-msclips.yaml"))
+    assert c.TPU.USE_PALLAS == "auto"
+    assert spec_from_config(c).use_pallas is False  # cpu backend here
+
+    c.TPU.USE_PALLAS = True
+    assert spec_from_config(c).use_pallas is True
+    c.TPU.USE_PALLAS = False
+    assert spec_from_config(c).use_pallas is False
