@@ -13,6 +13,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import queue
 import threading
+from collections import deque
 from typing import Iterator
 
 import numpy as np
@@ -45,20 +46,33 @@ def sampler_order(n: int, sampler: str = "default", *, shuffle=False,
                 "dataset exposes none (image-text pair datasets have no "
                 "classes — use DATASET.SAMPLER 'default' or 'chunk')"
             )
+        # Vectorized: each slot draws a class uniformly, then consumes the
+        # next instance of that class from a per-class shuffled stream
+        # (re-permuted on exhaustion). Grouping both the label pools and the
+        # draw slots with one stable argsort keeps the whole epoch O(n log n)
+        # numpy work — the per-sample Python loop this replaces was minutes
+        # of host time per epoch at YFCC-22M scale.
         labels = np.asarray(labels)
         classes = np.unique(labels)
-        per_class = {c: rng.permutation(np.flatnonzero(labels == c))
-                     for c in classes}
-        cursors = {c: 0 for c in classes}
         draws = rng.choice(classes, size=n)
+        # pools grouped by class: argsort(labels) sliced at class boundaries
+        by_label = np.argsort(labels, kind="stable")
+        pool_starts = np.searchsorted(labels[by_label], classes)
+        pool_ends = np.append(pool_starts[1:], n)
+        # slots grouped by drawn class, in slot order (stable sort)
+        by_draw = np.argsort(draws, kind="stable")
+        drawn, counts = np.unique(draws[by_draw], return_counts=True)
+        slot_starts = np.cumsum(np.append(0, counts[:-1]))
         out = np.empty(n, np.int64)
-        for i, c in enumerate(draws):
-            pool = per_class[c]
-            if cursors[c] == len(pool):  # reshuffle exhausted class
-                per_class[c] = pool = rng.permutation(pool)
-                cursors[c] = 0
-            out[i] = pool[cursors[c]]
-            cursors[c] += 1
+        cls_index = {c: i for i, c in enumerate(classes)}
+        for c, k, s0 in zip(drawn, counts, slot_starts):
+            ci = cls_index[c]
+            pool = by_label[pool_starts[ci]:pool_ends[ci]]
+            reps = -(-int(k) // len(pool))  # ceil: reshuffles on exhaustion
+            seq = np.concatenate(
+                [rng.permutation(pool) for _ in range(reps)]
+            )[: int(k)]
+            out[by_draw[s0 : s0 + k]] = seq
         return out
     if sampler == "chunk":
         order = np.arange(n)
@@ -87,6 +101,7 @@ class BatchLoader:
         self.sampler = sampler or "default"
         self.chunk_size = chunk_size
         self._epoch = 0
+        self._skip_batches = 0
 
     def set_epoch(self, epoch: int) -> None:
         """Pin the epoch used to derive the shuffle seed (the analogue of
@@ -95,6 +110,15 @@ class BatchLoader:
         ``for epoch: for batch in loader`` reshuffles per epoch like
         ``DataLoader(shuffle=True)`` does."""
         self._epoch = int(epoch)
+
+    def fast_forward(self, n_batches: int) -> None:
+        """Skip the first ``n_batches`` batches of the NEXT ``__iter__``
+        only — mid-epoch resume support: after restoring a checkpoint taken
+        at step k inside an epoch, skipping ``k % steps_per_epoch`` batches
+        re-aligns the data stream with the restored step/schedule instead of
+        replaying the epoch's early samples. One-shot by design (consumed
+        and reset), so subsequent epochs iterate in full."""
+        self._skip_batches = max(int(n_batches), 0)
 
     def _labels(self):
         samples = getattr(self.dataset, "samples", None)
@@ -131,6 +155,9 @@ class BatchLoader:
             order[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(n_batches)
         ]
+        if self._skip_batches:  # one-shot mid-epoch resume fast-forward
+            batches = batches[self._skip_batches :]
+            self._skip_batches = 0
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -153,19 +180,51 @@ class BatchLoader:
                 mask = np.concatenate([mask, np.zeros(pad, bool)])
             return {"image": images, "label": labels, "mask": mask}
 
+        def put(item) -> bool:
+            # bounded put that aborts when the consumer goes away instead
+            # of blocking a daemon thread on a full queue forever
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
+            # Submit-on-drain: at most prefetch + workers batches exist in
+            # any state (queued results + in-flight futures) at once, so a
+            # slow consumer bounds host memory at O(prefetch + workers)
+            # batches instead of materializing the whole epoch (an
+            # ImageNet-val eval fully materialized is ~30 GB fp32).
+            max_outstanding = self.prefetch + self.workers
             with cf.ThreadPoolExecutor(self.workers) as pool:
-                futures = [pool.submit(build_batch, b) for b in batches]
-                for fut in futures:
-                    if stop.is_set():
-                        fut.cancel()
-                        continue
+                pending: "deque" = deque()
+                batch_iter = iter(batches)
+
+                def top_up():
+                    while len(pending) < max_outstanding:
+                        idxs = next(batch_iter, None)
+                        if idxs is None:
+                            return
+                        pending.append(pool.submit(build_batch, idxs))
+
+                top_up()
+                while pending and not stop.is_set():
+                    fut = pending.popleft()
                     try:
-                        out_q.put(fut.result())
+                        item = fut.result()
                     except Exception as e:  # propagate to consumer
-                        out_q.put(e)
+                        put(e)
+                        for f in pending:
+                            f.cancel()
                         return
-            out_q.put(None)
+                    if not put(item):
+                        break
+                    top_up()
+                for f in pending:
+                    f.cancel()
+            put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

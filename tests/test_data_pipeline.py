@@ -249,3 +249,80 @@ def test_batchloader_sampler_integration(tmp_path):
     labels = np.concatenate([b["label"] for b in batches])
     counts = np.bincount(labels, minlength=3)
     assert counts.min() >= 5  # roughly balanced draws
+
+
+def test_class_aware_even_instance_coverage():
+    """The per-class stream must be permutation-chained: within each class
+    the draw counts across instances differ by at most 1 (reshuffle on
+    exhaustion, never with-replacement sampling)."""
+    import numpy as np
+
+    from msclip_tpu.data.loader import sampler_order
+
+    labels = np.array([0] * 90 + [1] * 10)
+    o = sampler_order(1000, "class_aware", seed=0, labels=labels)
+    for cls, pool in ((0, range(0, 90)), (1, range(90, 100))):
+        drawn = o[labels[o] == cls]
+        counts = np.bincount(drawn, minlength=100)[list(pool)]
+        assert counts.max() - counts.min() <= 1, (cls, counts)
+
+
+def test_batchloader_bounded_runahead():
+    """A fast dataset against a slow consumer must NOT materialize the
+    whole epoch: the producer keeps at most prefetch + workers batches
+    outstanding (queued results + in-flight futures)."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from msclip_tpu.data.loader import BatchLoader
+
+    fetched = [0]
+    lock = threading.Lock()
+
+    class DS:
+        def __len__(self):
+            return 400
+
+        def __getitem__(self, i):
+            with lock:
+                fetched[0] += 1
+            return np.zeros((2, 2, 3), np.float32), i
+
+    batch = 4
+    loader = BatchLoader(DS(), batch, workers=2, prefetch=2)
+    consumed = 0
+    peak = 0
+    for b in loader:
+        consumed += int(b["mask"].sum())
+        time.sleep(0.005)  # slow consumer: lets workers run far ahead
+        with lock:
+            peak = max(peak, fetched[0] - consumed)
+    assert consumed == 400
+    # bound: prefetch (queue) + prefetch+workers (outstanding) + slop,
+    # in samples; the old submit-everything producer would hit ~396 here
+    assert peak <= (2 + (2 + 2) + 2) * batch, peak
+
+
+def test_batchloader_fast_forward():
+    """Mid-epoch resume: fast_forward(k) skips the first k batches of the
+    next epoch only (resume at step k replays batch k+1, not batch 0)."""
+    import numpy as np
+
+    from msclip_tpu.data.loader import BatchLoader
+
+    class DS:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return np.zeros((2, 2, 3), np.float32), i
+
+    loader = BatchLoader(DS(), 8, workers=1, shuffle=False)
+    loader.fast_forward(2)
+    labels = np.concatenate([b["label"] for b in loader])
+    assert labels.tolist() == list(range(16, 32))  # batches 2..3 only
+    # one-shot: the following epoch iterates in full
+    labels = np.concatenate([b["label"] for b in loader])
+    assert labels.tolist() == list(range(32))

@@ -82,6 +82,7 @@ def main():
 
     ckpt_mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"))
     begin_epoch = config.TRAIN.BEGIN_EPOCH
+    resume_skip = 0
     if config.TRAIN.AUTO_RESUME:
         p, o, step, extra = auto_resume(ckpt_mgr, state.params,
                                         state.opt_state)
@@ -90,6 +91,15 @@ def main():
                 params=p, opt_state=o, step=jnp.asarray(step, jnp.int32)
             )
             begin_epoch = extra.get("epoch", begin_epoch)
+            # Mid-epoch resume: fast-forward past the batches the restored
+            # step already consumed so the data position matches the
+            # step/LR schedule instead of replaying the epoch from batch 0.
+            resume_skip = int(step) % steps_per_epoch
+            if resume_skip:
+                logging.info(
+                    f"=> resume fast-forward: skipping {resume_skip} "
+                    f"already-seen batches of epoch {begin_epoch}"
+                )
 
     step_fn = make_train_step(
         spec, tx, mesh=mesh,
@@ -107,6 +117,8 @@ def main():
     swa_params, swa_n = None, jnp.asarray(0)
     for epoch in range(begin_epoch, config.TRAIN.END_EPOCH):
         loader.set_epoch(epoch)  # fresh shuffle/sampler draws per epoch
+        if resume_skip and epoch == begin_epoch:
+            loader.fast_forward(resume_skip)
         t0 = time.time()
         seen = 0
         for i, batch in enumerate(loader):
