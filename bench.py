@@ -113,8 +113,10 @@ def _bench_eval(model_yaml: str, batch: int, n_iters: int) -> float:
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
 
-    n_chips = jax.local_device_count()
-    return batch * n_iters / elapsed / n_chips
+    # Unsharded jit executes on device 0 only, so this is a single-chip
+    # number by construction — dividing by local_device_count() would
+    # understate it on multi-chip hosts.
+    return batch * n_iters / elapsed
 
 
 def _bench_train(model_yaml: str, batch: int, n_iters: int) -> float:
@@ -160,7 +162,8 @@ def _bench_train(model_yaml: str, batch: int, n_iters: int) -> float:
         float(run(state, images, tokens))
         times.append(time.perf_counter() - t0)
     per_step = min(times) / n_iters
-    return batch / per_step / jax.local_device_count()
+    # single-chip by construction (unsharded jit) — see _bench_eval
+    return batch / per_step
 
 
 def main():

@@ -258,10 +258,11 @@ def _int8_block(p, x, n_head, mask, eps, use_pallas, pallas_interpret=False):
 
 
 def transformer_block(p, x, n_head, mask=None, eps=1e-12, use_pallas=False,
-                      drop_path_rate=0.0, rng=None):
+                      drop_path_rate=0.0, rng=None, pallas_interpret=False):
     """Pre-LN residual attention block (reference ``:1027-1028``), with
     optional stochastic depth (``DropPath``; active only in training when
-    an rng is supplied)."""
+    an rng is supplied). ``pallas_interpret`` runs the fused kernels in
+    Pallas interpret mode (CPU testing of the TPU fast paths)."""
     if use_pallas and drop_path_rate == 0.0 \
             and "qkv_w_int8" in p.get("attn", {}) and x.shape[1] >= 96:
         # quantized eval block (models/quantize.py): fused-quant fast
@@ -269,9 +270,11 @@ def transformer_block(p, x, n_head, mask=None, eps=1e-12, use_pallas=False,
         # fused kernels win at L=197 (3,589 vs 3,495 img/s unfused) but
         # lose at L=50 (8,186 vs 9,600), where four extra kernel
         # launches per block outweigh the saved quant passes.
-        return _int8_block(p, x, n_head, mask, eps, use_pallas)
+        return _int8_block(p, x, n_head, mask, eps, use_pallas,
+                           pallas_interpret=pallas_interpret)
     attn_out = attention(p["attn"], layer_norm(p["ln_1"], x, eps), n_head,
-                         mask, use_pallas=use_pallas)
+                         mask, use_pallas=use_pallas,
+                         pallas_interpret=pallas_interpret)
     if drop_path_rate > 0.0 and rng is not None:
         r1, r2 = jax.random.split(rng)
         x = x + drop_path(r1, attn_out, drop_path_rate)

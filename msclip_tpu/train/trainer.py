@@ -164,18 +164,37 @@ def make_step_core(spec, tx, mesh=None, sharded_loss=False,
 def make_train_step(spec, tx, mesh=None, sharded_loss=False,
                     loss_chunk=4096, ema_decay: float = 0.0,
                     donate: bool = True, label_smoothing: float = 0.0,
-                    seed: int = 0):
+                    seed: int = 0, opt_shardings=None):
     """Build the jit-compiled train step.
 
     step(state, images, tokens) -> (state, metrics). The step derives a
     fresh rng from ``seed`` (``TPU.SEED``) and the step counter for the
     stochastic training paths.
+
+    ``opt_shardings``: optional NamedSharding pytree (matching
+    ``state.opt_state``) that the updated optimizer state is constrained
+    to. Under ZeRO-1 (``TPU.ZERO1``) pass ``optstate_shardings(mesh,
+    opt_state)`` — without the pin, sharding propagation is free to emit a
+    replicated opt-state output and silently erase the memory saving after
+    the first step.
     """
-    step_fn = make_step_core(
+    core_fn = make_step_core(
         spec, tx, mesh=mesh, sharded_loss=sharded_loss,
         loss_chunk=loss_chunk, ema_decay=ema_decay,
         label_smoothing=label_smoothing, seed=seed,
     )
+    if opt_shardings is None:
+        step_fn = core_fn
+    else:
+
+        def step_fn(state, images, tokens):
+            new_state, metrics = core_fn(state, images, tokens)
+            new_state = new_state._replace(
+                opt_state=jax.lax.with_sharding_constraint(
+                    new_state.opt_state, opt_shardings
+                )
+            )
+            return new_state, metrics
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

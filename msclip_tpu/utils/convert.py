@@ -523,11 +523,16 @@ def convert_torch_state_dict(state_dict, spec: MSClipSpec, template=None,
                 f"{sorted(unconsumed)[:5]}"
             )
     # matched / non-matched accounting, mirroring the reference's partial-
-    # load logging (lib/utils/utils.py:267-271)
+    # load logging (lib/utils/utils.py:267-271). The four counts
+    # partition the state_dict exactly: stored + aliased + ignored
+    # (num_batches_tracked bookkeeping) + unmapped == len(state_dict).
+    n_stored = len(filled)
+    n_aliased = len(pending_alias)
+    n_ignored = len(consumed) - n_stored - n_aliased
     logging.info(
-        "=> converted %d torch keys: %d stored, %d aliased-and-verified, "
-        "%d skipped", len(consumed), len(filled), len(pending_alias),
-        len(state_dict) - len(consumed),
+        "=> converted %d/%d torch keys: %d stored, %d aliased-and-verified,"
+        " %d ignored, %d unmapped", len(consumed), len(state_dict),
+        n_stored, n_aliased, n_ignored, len(state_dict) - len(consumed),
     )
     return params
 
@@ -559,7 +564,6 @@ def export_torch_state_dict(params, spec: MSClipSpec):
         if path is not None:
             out[key] = inverse[fn](_get_path(params, path))
     # aliased duplicates for shared text layers
-    full_params = {"visual": params["visual"], "text": params["text"]}
     for i in range(spec.text_layers):
         if not spec.text_layer_is_shared(i):
             continue

@@ -136,6 +136,17 @@ def test_int8_fused_block_matches_unfused():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
 
+    # transformer_block threads the interpret flag down to the fused
+    # path (L>=96 gate), so INT8_EVAL+USE_PALLAS is CPU-testable too
+    x_long = jnp.asarray(0.1 * rng.standard_normal((1, 96, E)).astype(
+        np.float32))
+    want = L.transformer_block(qblk, x_long, H, eps=1e-12,
+                               use_pallas=False)
+    got = L.transformer_block(qblk, x_long, H, eps=1e-12, use_pallas=True,
+                              pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
 
 def test_int8_skips_unknown_key_blocks():
     """Blocks carrying unexpected params keep full precision (defensive

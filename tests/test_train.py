@@ -188,7 +188,11 @@ def test_train_step_zero1_matches_unsharded():
     placement only: two mesh steps with ZeRO-sharded optimizer state
     track the replicated-state steps numerically, and the moment arrays
     really are distributed."""
-    from msclip_tpu.parallel import create_mesh, shard_opt_state
+    from msclip_tpu.parallel import (
+        create_mesh,
+        optstate_shardings,
+        shard_opt_state,
+    )
 
     spec = tiny_spec()
     model = MSClipModel(spec)
@@ -210,13 +214,23 @@ def test_train_step_zero1_matches_unsharded():
         if hasattr(l, "sharding") and not l.sharding.is_fully_replicated
     ]
     assert sharded, "no optimizer-state leaf was actually ZeRO-sharded"
-    step_b = make_train_step(spec, tx, mesh=mesh, donate=False)
+    step_b = make_train_step(
+        spec, tx, mesh=mesh, donate=False,
+        opt_shardings=optstate_shardings(mesh, state_b.opt_state),
+    )
 
     for _ in range(2):
         state_a, m_a = step_a(state_a, images, tokens)
         state_b, m_b = step_b(state_b, images, tokens)
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
                                rtol=1e-5)
+    # the pin must survive the step: sharding propagation is otherwise
+    # free to emit replicated opt-state outputs and erase the ZeRO win
+    still_sharded = [
+        l for l in jax.tree.leaves(state_b.opt_state)
+        if hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+    ]
+    assert still_sharded, "opt_state came back fully replicated after steps"
     for a, b in zip(jax.tree.leaves(state_a.params),
                     jax.tree.leaves(state_b.params)):
         # 1e-5: reduction order differs under the distributed layout

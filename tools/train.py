@@ -71,13 +71,15 @@ def main():
     tx, _ = build_optimizer(config, params, spec, steps_per_epoch)
     state = init_train_state(model, tx, params=params,
                              ema_decay=config.TRAIN.EMA_DECAY)
+    opt_shardings = None
     if config.TPU.ZERO1:
         # ZeRO-1: AdamW moments sharded over the data axis (the TPU
         # analogue of the reference's DEEPSPEED zero_optimization stub)
-        from msclip_tpu.parallel import shard_opt_state
+        from msclip_tpu.parallel import optstate_shardings
 
+        opt_shardings = optstate_shardings(mesh, state.opt_state)
         state = state._replace(
-            opt_state=shard_opt_state(state.opt_state, mesh)
+            opt_state=jax.device_put(state.opt_state, opt_shardings)
         )
 
     ckpt_mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"))
@@ -108,6 +110,7 @@ def main():
         ema_decay=config.TRAIN.EMA_DECAY,
         label_smoothing=config.LOSS.LABEL_SMOOTHING,
         seed=config.TPU.SEED,
+        opt_shardings=opt_shardings,
     )
 
     logging.info(
