@@ -263,8 +263,11 @@ def transformer_block(p, x, n_head, mask=None, eps=1e-12, use_pallas=False,
     optional stochastic depth (``DropPath``; active only in training when
     an rng is supplied). ``pallas_interpret`` runs the fused kernels in
     Pallas interpret mode (CPU testing of the TPU fast paths)."""
+    from ..ops.tuning import get_tuning
+
     if use_pallas and drop_path_rate == 0.0 \
-            and "qkv_w_int8" in p.get("attn", {}) and x.shape[1] >= 96:
+            and "qkv_w_int8" in p.get("attn", {}) \
+            and x.shape[1] >= get_tuning().int8_min_seq:
         # quantized eval block (models/quantize.py): fused-quant fast
         # path. Only at long sequence — measured on v5e at B=256: the
         # fused kernels win at L=197 (3,589 vs 3,495 img/s unfused) but

@@ -24,9 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for one program's double-buffered in+out blocks (of the
-# 16 MB/core, leaving headroom for the in-kernel scores/softmax scratch)
-_VMEM_BUDGET = 14 * 1024 * 1024
+from .tuning import get_tuning
 
 
 def _pick_batch_tile(batch: int, seq: int, three_e: int, itemsize: int,
@@ -47,7 +45,7 @@ def _pick_batch_tile(batch: int, seq: int, three_e: int, itemsize: int,
     if io_cols is None:
         io_cols = 4 * (three_e // 3)
     per_sample = seq * io_cols * itemsize
-    tb = max(1, _VMEM_BUDGET // (2 * per_sample))
+    tb = max(1, get_tuning().attn_vmem_budget // (2 * per_sample))
     tb = 1 << (tb.bit_length() - 1)
     # largest power of two <= tb that also divides the (padded) batch
     while tb > 1 and batch % tb:

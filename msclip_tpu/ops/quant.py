@@ -26,14 +26,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 11 * 1024 * 1024  # of 16 MB: the kernel body also holds
-#                                  fp32 LN/quant temporaries (~tb*L*E*4)
+from .tuning import get_tuning
 
 
 def _pick_tb(batch, seq, width, in_itemsize):
     # blocks: in (bf16/fp32) + int8 out + fp32 scales, double-buffered
     per_sample = seq * width * (in_itemsize + 1) + seq * 4
-    tb = max(1, _VMEM_BUDGET // (2 * per_sample))
+    tb = max(1, get_tuning().quant_vmem_budget // (2 * per_sample))
     tb = 1 << (tb.bit_length() - 1)
     while tb > 1 and batch % tb:
         tb //= 2
