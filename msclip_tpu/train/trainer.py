@@ -176,39 +176,56 @@ def make_train_step(spec, tx, mesh=None, sharded_loss=False,
     to. Under ZeRO-1 (``TPU.ZERO1``) pass ``optstate_shardings(mesh,
     opt_state)`` — without the pin, sharding propagation is free to emit a
     replicated opt-state output and silently erase the memory saving after
-    the first step.
+    the first step. Mesh path only.
     """
-    core_fn = make_step_core(
+    step_fn = make_step_core(
         spec, tx, mesh=mesh, sharded_loss=sharded_loss,
         loss_chunk=loss_chunk, ema_decay=ema_decay,
         label_smoothing=label_smoothing, seed=seed,
     )
-    if opt_shardings is None:
-        step_fn = core_fn
-    else:
-
-        def step_fn(state, images, tokens):
-            new_state, metrics = core_fn(state, images, tokens)
-            new_state = new_state._replace(
-                opt_state=jax.lax.with_sharding_constraint(
-                    new_state.opt_state, opt_shardings
-                )
-            )
-            return new_state, metrics
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
-    # Mesh path: commit the batch to the data axis and let jit propagate
-    # shardings from the (already device_put) state — params may carry TP
-    # shardings, opt_state mirrors them.
+    # Mesh path: commit the batch to the data axis and pin the output
+    # state to the INPUT state's shardings. The step is
+    # sharding-preserving by contract: without the pin, propagation from
+    # ZeRO-sharded moments leaks P('data') into the updated params (the
+    # update add), so step 2 sees different input layouts, recompiles,
+    # and the drifted-layout program both reshards every param each step
+    # and (observed) crashes the XLA CPU compiler in the 8-device
+    # dryrun. Scalars off-mesh (fresh jnp scalars carry a
+    # SingleDeviceSharding) are replicated on first call so the whole
+    # state has one stable mesh layout.
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
-    fn = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    repl = NamedSharding(mesh, P())
+    cache: dict = {}
 
     def jitted(state, images, tokens):
+        if "fn" not in cache:
+            state = jax.tree.map(
+                lambda l: l if isinstance(getattr(l, "sharding", None),
+                                          NamedSharding)
+                else jax.device_put(l, repl),
+                state,
+            )
+            shardings = jax.tree.map(lambda l: l.sharding, state)
+            if opt_shardings is not None:
+                shardings = shardings._replace(opt_state=opt_shardings)
+
+            def pinned(st, im, tk):
+                new_state, metrics = step_fn(st, im, tk)
+                new_state = jax.tree.map(
+                    jax.lax.with_sharding_constraint, new_state, shardings
+                )
+                return new_state, metrics
+
+            cache["fn"] = jax.jit(
+                pinned, donate_argnums=(0,) if donate else ()
+            )
         images = jax.device_put(images, batch_sh)
         tokens = jax.device_put(tokens, batch_sh)
-        return fn(state, images, tokens)
+        return cache["fn"](state, images, tokens)
 
     return jitted
 

@@ -231,6 +231,12 @@ def test_train_step_zero1_matches_unsharded():
         if hasattr(l, "sharding") and not l.sharding.is_fully_replicated
     ]
     assert still_sharded, "opt_state came back fully replicated after steps"
+    # ...and must not leak into the params: the step is
+    # sharding-preserving, so updated params keep their input layout
+    # (propagation from data-sharded moments once turned every param
+    # P('data'), forcing a recompile per step and per-step reshards)
+    for leaf in jax.tree.leaves(state_b.params):
+        assert leaf.sharding.is_fully_replicated, leaf.sharding
     for a, b in zip(jax.tree.leaves(state_a.params),
                     jax.tree.leaves(state_b.params)):
         # 1e-5: reduction order differs under the distributed layout
