@@ -166,6 +166,96 @@ def _bench_train(model_yaml: str, batch: int, n_iters: int) -> float:
     return batch / per_step
 
 
+def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
+    """BENCH_JPEG=1: the PRODUCTION input path — JPEG bytes -> native
+    multi-threaded DCT-scaled decode -> device transfer -> encode_image +
+    1k-class logits, host decode overlapped with device compute
+    (double-buffered dispatch). Reported numbers:
+
+      jpeg_eval_ips        end-to-end images/sec (host-bound on few-core
+                           hosts; the uint8 headline is the device bound)
+      jpeg_decode_ips_core single-thread native decode rate, img/s/core
+                           (multiply by cores to get a host's feed ceiling)
+      jpeg_decode_ips_core_full  same without DCT-scaled decode
+
+    Images are synthetic 1024x768 q90 JPEGs (YFCC-like photo scale).
+    """
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from msclip_tpu import native as N
+    from msclip_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    if not N.native_available():
+        return {"jpeg_error": f"native unavailable: {N.build_error()!r}"}
+
+    cfg, spec, model = _build(model_yaml)
+    params = model.init(jax.random.PRNGKey(0))
+    if os.environ.get("BENCH_FOLD_BN", "1") != "0":
+        from msclip_tpu.models.folding import fold_params_for_eval
+
+        params = fold_params_for_eval(params, spec)
+    classifier = jax.random.normal(
+        jax.random.PRNGKey(1), (spec.embed_dim, 1000), jnp.bfloat16
+    )
+
+    @jax.jit
+    def logits_top1(params, classifier, images):
+        feats = model.encode_image(params, images)
+        logits = 100.0 * feats @ classifier.astype(feats.dtype)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32).sum()
+
+    rng = np.random.default_rng(0)
+    datas = []
+    for i in range(batch):
+        small = rng.integers(0, 256, (97, 129, 3), np.uint8)
+        img = Image.fromarray(small, "RGB").resize((1024, 768),
+                                                   Image.BILINEAR)
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=90)
+        datas.append(buf.getvalue())
+
+    # single-thread decode rate, both modes (per-core feed capacity)
+    out = {}
+    for key, dct in (("jpeg_decode_ips_core", True),
+                     ("jpeg_decode_ips_core_full", False)):
+        for d in datas[:4]:
+            N.decode_eval(d, 224, IMAGENET_MEAN, IMAGENET_STD, dct_scale=dct)
+        t0 = time.perf_counter()
+        n_timed = min(len(datas), 64)
+        for d in datas[:n_timed]:
+            N.decode_eval(d, 224, IMAGENET_MEAN, IMAGENET_STD, dct_scale=dct)
+        out[key] = round(n_timed / (time.perf_counter() - t0), 1)
+
+    # end-to-end: decode batch i+1 on the host while batch i computes
+    def host_decode():
+        imgs, ok = N.decode_eval_batch(
+            datas, 224, IMAGENET_MEAN, IMAGENET_STD, dct_scale=True
+        )
+        assert ok.all()
+        return imgs
+
+    host_decode()  # warm
+    int(logits_top1(params, classifier, jnp.asarray(host_decode())))  # compile
+    t0 = time.perf_counter()
+    pending = None
+    for _ in range(n_batches):
+        images = jnp.asarray(host_decode())
+        dispatched = logits_top1(params, classifier, images)
+        if pending is not None:
+            int(pending)
+        pending = dispatched
+    int(pending)
+    elapsed = time.perf_counter() - t0
+    out["jpeg_eval_ips"] = round(batch * n_batches / elapsed, 1)
+    return out
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     n_iters = int(os.environ.get("BENCH_ITERS", "32"))
@@ -188,6 +278,12 @@ def main():
             )
         except Exception as e:
             extra["b32_train_error"] = repr(e)[:200]
+    if os.environ.get("BENCH_JPEG", "0") != "0":
+        try:
+            extra.update(_bench_jpeg(model_yaml, batch,
+                                     max(n_iters // 8, 2)))
+        except Exception as e:
+            extra["jpeg_error"] = repr(e)[:200]
 
     print(
         json.dumps(

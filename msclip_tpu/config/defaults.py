@@ -142,6 +142,16 @@ def get_default_config() -> CfgNode:
     c.TEST.MODEL_FILE = ""
     c.TEST.REAL_LABELS = False
     c.TEST.VALID_LABELS = ""
+    # TPU-repo extensions (absent in the reference):
+    # SAVE_PRED: path — dump per-image predictions/labels (and logits for
+    # the multilabel metrics) as an .npz in dataset order, for error
+    # analysis and pipeline-agreement checks. Per-process stripe under
+    # multi-host eval.
+    c.TEST.SAVE_PRED = ""
+    # SUBSET_CLASSES: >0 evaluates against only the first K prompt
+    # classes — smoke evals and classifier-build debugging at a fraction
+    # of the 1000x80 prompt cost.
+    c.TEST.SUBSET_CLASSES = 0
 
     c.FINETUNE = CfgNode()
     c.FINETUNE.FINETUNE = False

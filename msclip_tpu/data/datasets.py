@@ -78,7 +78,17 @@ class ImageFolderDataset:
 
             with open(path, "rb") as f:
                 data = f.read()
-            img = N.decode_eval(data, self.image_size, self.mean, self.std)
+            # MSCLIP_DCT_SCALE=1: decode at the smallest IDCT scale >= the
+            # resize target (libjpeg scale_num/8 — PIL Image.draft's trick
+            # at finer granularity). 3-4x cheaper per large photo; pixels
+            # are PIL-draft-equivalent, NOT bit-identical with the full
+            # decode the parity transform uses. Opt-in, because the parity
+            # contract of the default path is bit-exactness to
+            # pil_eval_transform within JPEG-decoder rounding.
+            img = N.decode_eval(
+                data, self.image_size, self.mean, self.std,
+                dct_scale=os.environ.get("MSCLIP_DCT_SCALE") == "1",
+            )
             if img is not None:
                 return img, label
         return self.transform(_load_image(path)), label

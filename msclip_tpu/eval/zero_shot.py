@@ -129,10 +129,13 @@ def make_dataset(config, transform=None):
     return ImageFolderDataset(folder, transform=transform)
 
 
-def _consume(pending, metric, top1, all_logits, all_y):
+def _consume(pending, metric, top1, all_logits, all_y, all_pred):
     logits_dev, batch = pending
     logits = np.asarray(logits_dev)
     mask = batch["mask"]
+    if all_pred is not None:  # TEST.SAVE_PRED: per-image argmax + label
+        all_pred.append((logits[mask].argmax(-1).astype(np.int64),
+                         np.asarray(batch["label"])[mask]))
     if metric in ("11point_mAP", "mean-per-class", "roc_auc"):
         all_logits.append(logits[mask])
         all_y.append(np.asarray(batch["label"])[mask])
@@ -163,6 +166,9 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
         prompt_name = "imagenet"
     classnames = get_classnames(prompt_name)
     templates = get_templates(prompt_name)
+    subset = int(config.TEST.get("SUBSET_CLASSES", 0) or 0)
+    if subset > 0:
+        classnames = classnames[:subset]
 
     logging.info("=> Start to build zeroshot classifier "
                  f"({len(classnames)} classes x {len(templates)} templates)")
@@ -198,8 +204,10 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
         return 100.0 * feats @ weights
 
     metric = config.TEST.get("METRIC", "accuracy")
+    save_pred = config.TEST.get("SAVE_PRED", "")
     top1 = M.AverageMeter()
     all_logits, all_y = [], []
+    all_pred = [] if save_pred else None
     n_images = 0
     t0 = time.time()
     logging.info("=> Start to inference")
@@ -215,13 +223,23 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
                   else jnp.asarray(batch["image"]))
         dispatched = (logits_fn(params, weights, images), batch)
         if pending is not None:
-            _consume(pending, metric, top1, all_logits, all_y)
+            _consume(pending, metric, top1, all_logits, all_y, all_pred)
             n_images += int(pending[1]["mask"].sum())
         pending = dispatched
     if pending is not None:
-        _consume(pending, metric, top1, all_logits, all_y)
+        _consume(pending, metric, top1, all_logits, all_y, all_pred)
         n_images += int(pending[1]["mask"].sum())
     elapsed = time.time() - t0
+
+    if save_pred and all_pred:
+        arrs = {
+            "pred": np.concatenate([p for p, _ in all_pred]),
+            "label": np.concatenate([l for _, l in all_pred]),
+        }
+        if all_logits:
+            arrs["logits"] = np.concatenate(all_logits)
+        np.savez(save_pred, **arrs)
+        logging.info(f"=> saved per-image predictions to {save_pred}")
 
     if comm.world_size > 1 and metric in ("11point_mAP", "mean-per-class",
                                           "roc_auc"):

@@ -66,18 +66,19 @@ def _load():
             f32p = ctypes.POINTER(ctypes.c_float)
             lib.ip_decode_eval.argtypes = [
                 u8p, ctypes.c_size_t, ctypes.c_int, f32p, f32p, f32p,
+                ctypes.c_int,
             ]
             lib.ip_decode_eval.restype = ctypes.c_int
             lib.ip_decode_train.argtypes = [
                 u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_double,
                 ctypes.c_double, ctypes.c_double, ctypes.c_uint64, f32p,
-                f32p, f32p,
+                f32p, f32p, ctypes.c_int,
             ]
             lib.ip_decode_train.restype = ctypes.c_int
             lib.ip_decode_eval_batch.argtypes = [
                 u8p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
                 ctypes.c_int, f32p, f32p, ctypes.c_int, f32p,
-                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ]
             lib.ip_decode_eval_batch.restype = ctypes.c_int
             _LIB = lib
@@ -109,10 +110,12 @@ def is_jpeg(data: bytes) -> bool:
     return data[:2] == _JPEG_MAGIC
 
 
-def decode_eval(data: bytes, size: int, mean, std):
+def decode_eval(data: bytes, size: int, mean, std, dct_scale: bool = False):
     """JPEG bytes -> float32 [size, size, 3] (resize/center-crop/normalize).
     Returns None when the native path can't handle the input (caller falls
-    back to PIL)."""
+    back to PIL). ``dct_scale``: decode at the smallest IDCT scale >= the
+    resize target (3-4x cheaper on large photos; PIL-draft-equivalent
+    pixels, not bit-identical with full decode)."""
     lib = _load()
     if lib is None or not is_jpeg(data):
         return None
@@ -124,13 +127,17 @@ def decode_eval(data: bytes, size: int, mean, std):
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data), size,
         _fvec(mean), _fvec(std),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(bool(dct_scale)),
     )
     return out if rc == 0 else None
 
 
 def decode_train(data: bytes, size: int, mean, std, seed: int,
-                 scale=(0.08, 1.0), hflip_p: float = 0.5):
-    """JPEG bytes -> RandomResizedCrop(size) + hflip + normalize."""
+                 scale=(0.08, 1.0), hflip_p: float = 0.5,
+                 dct_scale: bool = False):
+    """JPEG bytes -> RandomResizedCrop(size) + hflip + normalize.
+    ``dct_scale`` decodes at >= 2x the crop target (aug statistics
+    preserved, window geometry in scaled coordinates)."""
     lib = _load()
     if lib is None or not is_jpeg(data):
         return None
@@ -144,11 +151,13 @@ def decode_train(data: bytes, size: int, mean, std, seed: int,
         ctypes.c_uint64(seed & (2 ** 64 - 1)).value or 1,
         _fvec(mean), _fvec(std),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(bool(dct_scale)),
     )
     return out if rc == 0 else None
 
 
-def decode_eval_batch(datas, size: int, mean, std, n_threads: int = 0):
+def decode_eval_batch(datas, size: int, mean, std, n_threads: int = 0,
+                      dct_scale: bool = False):
     """List of JPEG byte strings -> (float32 [N, size, size, 3], ok mask).
 
     Uses the in-library thread pool (one C call for the whole batch).
@@ -180,6 +189,7 @@ def decode_eval_batch(datas, size: int, mean, std, n_threads: int = 0):
         len(idx), size, _fvec(mean), _fvec(std), n_threads,
         sub.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(bool(dct_scale)),
     )
     for j, i in enumerate(idx):
         if status[j] == 0:

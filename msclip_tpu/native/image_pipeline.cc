@@ -44,8 +44,17 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 }
 
 // Decode a JPEG byte buffer to an RGB uint8 HWC image.
+//
+// min_short_side > 0 enables DCT-scaled decode: libjpeg's IDCT produces
+// output at scale_num/8 (scale_num in 1..8) nearly for free, so we decode
+// at the smallest scale whose short side still covers the resize target —
+// PIL's Image.draft() trick at n/8 granularity (draft only offers
+// power-of-two scales). Typically 3-4x cheaper than full decode for large
+// photos. NOT bit-identical with full decode + bicubic: the downstream
+// resample then starts from the IDCT-scaled image (exactly what a
+// PIL-draft pipeline sees); see the parity stance in data/datasets.py.
 bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
-                 int* w, int* h) {
+                 int* w, int* h, int min_short_side = 0) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -60,6 +69,18 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
   jpeg_read_header(&cinfo, TRUE);
   bool gray = cinfo.jpeg_color_space == JCS_GRAYSCALE;
   cinfo.out_color_space = gray ? JCS_GRAYSCALE : JCS_RGB;
+  if (min_short_side > 0) {
+    unsigned int short_side =
+        std::min(cinfo.image_width, cinfo.image_height);
+    unsigned int num = 8;
+    // scaled output dim = ceil(dim * num / 8); take the smallest num
+    // that keeps the short side >= the target
+    while (num > 1 && (short_side * (num - 1) + 7) / 8 >=
+                          static_cast<unsigned int>(min_short_side))
+      --num;
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
@@ -223,10 +244,11 @@ inline double uniform01(uint64_t* s) {
 }
 
 int decode_eval_impl(const uint8_t* data, size_t len, int size,
-                     const float* mean, const float* stdv, float* out) {
+                     const float* mean, const float* stdv, float* out,
+                     int dct_scale) {
   std::vector<uint8_t> img;
   int w, h;
-  if (!decode_jpeg(data, len, &img, &w, &h)) return 1;
+  if (!decode_jpeg(data, len, &img, &w, &h, dct_scale ? size : 0)) return 1;
   // torchvision Resize(size): short side -> size; the long side
   // TRUNCATES (int(size * long / short)) — torchvision 0.7 semantics,
   // must match pil_eval_transform exactly.
@@ -263,8 +285,9 @@ int decode_eval_impl(const uint8_t* data, size_t len, int size,
 extern "C" {
 
 int ip_decode_eval(const uint8_t* data, size_t len, int size,
-                   const float* mean, const float* stdv, float* out) {
-  return decode_eval_impl(data, len, size, mean, stdv, out);
+                   const float* mean, const float* stdv, float* out,
+                   int dct_scale) {
+  return decode_eval_impl(data, len, size, mean, stdv, out, dct_scale);
 }
 
 // torchvision RandomResizedCrop(size, scale=(smin,smax), ratio 3/4..4/3)
@@ -272,10 +295,16 @@ int ip_decode_eval(const uint8_t* data, size_t len, int size,
 // window directly (PIL resize(box=...) semantics).
 int ip_decode_train(const uint8_t* data, size_t len, int size, double smin,
                     double smax, double hflip_p, uint64_t seed,
-                    const float* mean, const float* stdv, float* out) {
+                    const float* mean, const float* stdv, float* out,
+                    int dct_scale) {
   std::vector<uint8_t> img;
   int w, h;
-  if (!decode_jpeg(data, len, &img, &w, &h)) return 1;
+  // dct_scale for training decodes at >= 2x the crop target so the
+  // random crop window (drawn in the scaled coordinates) still has
+  // headroom to upsample from; exactness of the seeded draw sequence is
+  // preserved, the window geometry shifts with the scaled dims.
+  if (!decode_jpeg(data, len, &img, &w, &h, dct_scale ? 2 * size : 0))
+    return 1;
   uint64_t rs = seed ? seed : 0x2545F4914F6CDD1DULL;
   double area = static_cast<double>(w) * h;
   int cx = 0, cy = 0, cw = w, chh = h;
@@ -332,7 +361,7 @@ int ip_decode_train(const uint8_t* data, size_t len, int size, double smin,
 int ip_decode_eval_batch(const uint8_t* jpegs, const uint64_t* offsets,
                          int n, int size, const float* mean,
                          const float* stdv, int n_threads, float* out,
-                         int32_t* status) {
+                         int32_t* status, int dct_scale) {
   std::atomic<int> next(0), failures(0);
   auto work = [&]() {
     for (;;) {
@@ -340,7 +369,8 @@ int ip_decode_eval_batch(const uint8_t* jpegs, const uint64_t* offsets,
       if (i >= n) return;
       int rc = decode_eval_impl(
           jpegs + offsets[i], static_cast<size_t>(offsets[i + 1] - offsets[i]),
-          size, mean, stdv, out + static_cast<size_t>(i) * size * size * 3);
+          size, mean, stdv, out + static_cast<size_t>(i) * size * size * 3,
+          dct_scale);
       status[i] = rc;
       if (rc) failures.fetch_add(1);
     }

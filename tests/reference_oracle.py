@@ -100,6 +100,66 @@ def load_reference_model_module():
     return module
 
 
+REFERENCE_ZERO_SHOT = "/root/reference/tools/zero_shot.py"
+
+_cached_zero_shot = None
+
+
+def load_reference_zero_shot_module():
+    """Load the reference eval driver (``tools/zero_shot.py``) so its own
+    ``zeroshot_classifier`` / ``accuracy`` / ``mAP_11points`` /
+    ``AverageMeter`` run as the prediction-agreement oracle. Its import
+    surface (torchvision, yacs config, ftfy tokenizer, _init_paths) is
+    absent here, so module-level imports get thin stubs — the functions
+    the capstone calls touch none of them."""
+    global _cached_zero_shot
+    if _cached_zero_shot is not None:
+        return _cached_zero_shot
+
+    model_mod = load_reference_model_module()  # installs utils/timm stubs
+
+    import importlib.machinery as _machinery
+
+    def _stub(name, **attrs):
+        mod = sys.modules.get(name)
+        if mod is None:
+            mod = types.ModuleType(name)
+            mod.__spec__ = _machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        return mod
+
+    _stub("_init_paths")
+    tv = _stub("torchvision")
+    tv.transforms = _stub("torchvision.transforms")
+    tv.models = _stub("torchvision.models")
+    tv.datasets = _stub("torchvision.datasets")
+    uu = _stub("utils.utils", create_logger=lambda *a, **k: "/tmp")
+    sys.modules["utils"].utils = uu
+    _stub("config", config=None, update_config=lambda *a, **k: None)
+    ds_pkg = _stub("dataset")
+    ds_pkg.languages = _stub("dataset.languages", SimpleTokenizer=object)
+    # the prompt constants file is pure data — load the real one
+    spec = importlib.util.spec_from_file_location(
+        "dataset.prompts.constants",
+        "/root/reference/lib/dataset/prompts/constants.py",
+    )
+    consts = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(consts)
+    sys.modules["dataset.prompts.constants"] = consts
+    ds_pkg.prompts = _stub("dataset.prompts", constants=consts)
+    _stub("models", clip_openai_pe_res_v1=model_mod)
+
+    spec = importlib.util.spec_from_file_location(
+        "reference_zero_shot", REFERENCE_ZERO_SHOT
+    )
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    _cached_zero_shot = module
+    return module
+
+
 def tiny_msclips_config(width=128, image_size=64, vocab_size=512,
                         layers=12):
     """A scaled-down MS-CLIP-S config exercising every [ON] component:

@@ -227,3 +227,56 @@ def test_image_folder_native_path(tmp_path):
         assert lbl_n == lbl_p
         assert img_n.shape == img_p.shape == (224, 224, 3)
         assert np.abs(img_n - img_p).mean() < 0.03
+
+
+def test_dct_scaled_decode_matches_pil_draft():
+    """dct_scale decode must equal the PIL Image.draft pipeline when the
+    chosen IDCT scale is a power of two (1600x1200 -> 1/4), and stay close
+    to the full-decode output on smooth content."""
+    from PIL import Image
+
+    data = _jpeg_bytes(1600, 1200, seed=11)
+    got = N.decode_eval(data, 224, IMAGENET_MEAN, IMAGENET_STD,
+                        dct_scale=True)
+    assert got is not None and got.shape == (224, 224, 3)
+
+    # PIL draft oracle: short side 1200 needs scale 2/8 = 1/4 (300 >= 224)
+    img = Image.open(io.BytesIO(data))
+    img.draft("RGB", (1600 // 4, 1200 // 4))
+    assert img.size == (400, 300)
+    ref = pil_eval_transform(img)
+    diff = np.abs(got - ref)
+    assert diff.mean() < 0.02, diff.mean()
+    assert np.quantile(diff, 0.999) < 0.15
+
+    # and close to (not bit-equal with) the full-decode output
+    full = N.decode_eval(data, 224, IMAGENET_MEAN, IMAGENET_STD)
+    d2 = np.abs(got - full)
+    assert d2.mean() < 0.03, d2.mean()
+
+    # small images never upscale through the IDCT (scale stays 8/8):
+    # bit-identical with the full decode
+    small = _jpeg_bytes(200, 160, seed=12)
+    a = N.decode_eval(small, 224, IMAGENET_MEAN, IMAGENET_STD,
+                      dct_scale=True)
+    b = N.decode_eval(small, 224, IMAGENET_MEAN, IMAGENET_STD)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dct_scaled_batch_and_train():
+    datas = [_jpeg_bytes(900, 700, seed=i) for i in range(4)]
+    out, ok = N.decode_eval_batch(datas, 224, IMAGENET_MEAN, IMAGENET_STD,
+                                  n_threads=2, dct_scale=True)
+    assert ok.all()
+    for i in range(4):
+        single = N.decode_eval(datas[i], 224, IMAGENET_MEAN, IMAGENET_STD,
+                               dct_scale=True)
+        np.testing.assert_array_equal(out[i], single)
+
+    # train: deterministic per seed, valid range, actually scaled path
+    a = N.decode_train(datas[0], 224, IMAGENET_MEAN, IMAGENET_STD, seed=5,
+                       dct_scale=True)
+    b = N.decode_train(datas[0], 224, IMAGENET_MEAN, IMAGENET_STD, seed=5,
+                       dct_scale=True)
+    assert a is not None and a.shape == (224, 224, 3)
+    np.testing.assert_array_equal(a, b)
