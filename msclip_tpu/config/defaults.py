@@ -185,6 +185,9 @@ def get_default_config() -> CfgNode:
     c.TPU.MESH_MODEL = 1              # tensor-parallel axis size
     c.TPU.SHARDED_LOSS = False        # chunked global-batch InfoNCE
     c.TPU.LOSS_CHUNK = 4096           # column-block size of the sharded loss
+    c.TPU.RING_LOSS = False           # ring-rotated InfoNCE (O(b*E)/chip
+    #                                   embeddings at any global batch;
+    #                                   needs SHARDED_LOSS)
     c.TPU.REMAT = False               # jax.checkpoint on trunk blocks
     c.TPU.ZERO1 = False               # shard optimizer state over 'data'
                                       # (TPU-native DeepSpeed ZeRO stage 1)

@@ -13,6 +13,7 @@ from .mesh import (
 from .infonce import (
     chunked_sharded_infonce_loss,
     infonce_loss,
+    ring_infonce_loss,
     sharded_infonce_loss,
 )
 
@@ -29,5 +30,6 @@ __all__ = [
     "shard_params",
     "chunked_sharded_infonce_loss",
     "infonce_loss",
+    "ring_infonce_loss",
     "sharded_infonce_loss",
 ]

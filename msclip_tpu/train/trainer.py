@@ -72,7 +72,7 @@ def _copy_containers(tree):
 
 
 def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096,
-                 label_smoothing=0.0):
+                 label_smoothing=0.0, ring_loss=False):
     """loss_fn(params, images, tokens, rng) -> (loss, bn_updates).
 
     ``rng`` drives the stochastic training-time paths: DropPath in the
@@ -105,15 +105,25 @@ def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096,
 
     assert mesh is not None
 
+    if ring_loss:
+        # TPU.RING_LOSS: ring-rotated shards — O(b·E)/chip embedding
+        # memory at any global batch (the beyond-32k configuration)
+        from ..parallel import ring_infonce_loss
+
+        inner = functools.partial(
+            ring_infonce_loss, axis_name=DATA_AXIS,
+            label_smoothing=label_smoothing,
+        )
+    else:
+        inner = functools.partial(
+            chunked_sharded_infonce_loss, axis_name=DATA_AXIS,
+            chunk=loss_chunk, label_smoothing=label_smoothing,
+        )
+
     def loss_fn(params, images, tokens, rng=None):
         fi, ft, bn_updates = encode(params, images, tokens, rng)
         sharded = shard_map(
-            functools.partial(
-                chunked_sharded_infonce_loss,
-                axis_name=DATA_AXIS,
-                chunk=loss_chunk,
-                label_smoothing=label_smoothing,
-            ),
+            inner,
             mesh=mesh,
             in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
             out_specs=P(),
@@ -126,14 +136,15 @@ def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096,
 
 def make_step_core(spec, tx, mesh=None, sharded_loss=False,
                    loss_chunk=4096, ema_decay: float = 0.0,
-                   label_smoothing: float = 0.0, seed: int = 0):
+                   label_smoothing: float = 0.0, seed: int = 0,
+                   ring_loss: bool = False):
     """The raw (un-jitted) train step: value_and_grad + optimizer + BN
     replay + EMA. Exposed separately so harnesses (bench.py,
     experiments/profile_train.py) can chain K steps inside one jit/scan —
     over a remote tunnel the per-dispatch RTT would otherwise swamp the
     measurement."""
     loss_fn = make_loss_fn(spec, mesh, sharded_loss, loss_chunk,
-                           label_smoothing)
+                           label_smoothing, ring_loss=ring_loss)
     needs_rng = spec.vision_drop_path > 0.0 or spec.ext.gumbel_select
 
     def step_fn(state: TrainState, images, tokens):
@@ -164,7 +175,8 @@ def make_step_core(spec, tx, mesh=None, sharded_loss=False,
 def make_train_step(spec, tx, mesh=None, sharded_loss=False,
                     loss_chunk=4096, ema_decay: float = 0.0,
                     donate: bool = True, label_smoothing: float = 0.0,
-                    seed: int = 0, opt_shardings=None):
+                    seed: int = 0, opt_shardings=None,
+                    ring_loss: bool = False):
     """Build the jit-compiled train step.
 
     step(state, images, tokens) -> (state, metrics). The step derives a
@@ -181,7 +193,7 @@ def make_train_step(spec, tx, mesh=None, sharded_loss=False,
     step_fn = make_step_core(
         spec, tx, mesh=mesh, sharded_loss=sharded_loss,
         loss_chunk=loss_chunk, ema_decay=ema_decay,
-        label_smoothing=label_smoothing, seed=seed,
+        label_smoothing=label_smoothing, seed=seed, ring_loss=ring_loss,
     )
 
     if mesh is None:

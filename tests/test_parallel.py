@@ -14,6 +14,7 @@ from msclip_tpu.parallel import (
     chunked_sharded_infonce_loss,
     create_mesh,
     infonce_loss,
+    ring_infonce_loss,
     sharded_infonce_loss,
 )
 
@@ -29,7 +30,8 @@ def test_mesh_has_8_devices():
 
 
 @pytest.mark.parametrize("loss_fn", [sharded_infonce_loss,
-                                     chunked_sharded_infonce_loss])
+                                     chunked_sharded_infonce_loss,
+                                     ring_infonce_loss])
 def test_sharded_loss_matches_global(loss_fn):
     B, E = 64, 32
     img, txt = _feats(B, E, 0), _feats(B, E, 1)
@@ -48,7 +50,8 @@ def test_sharded_loss_matches_global(loss_fn):
 
 
 @pytest.mark.parametrize("loss_fn", [sharded_infonce_loss,
-                                     chunked_sharded_infonce_loss])
+                                     chunked_sharded_infonce_loss,
+                                     ring_infonce_loss])
 def test_sharded_grads_match_global(loss_fn):
     """all_gather's differentiability: grads through the sharded loss equal
     the single-device grads (the property the reference needed a manual
@@ -80,7 +83,8 @@ def test_sharded_grads_match_global(loss_fn):
 
 
 @pytest.mark.parametrize("loss_fn", [sharded_infonce_loss,
-                                     chunked_sharded_infonce_loss])
+                                     chunked_sharded_infonce_loss,
+                                     ring_infonce_loss])
 def test_sharded_label_smoothing_matches_global(loss_fn):
     """LOSS.LABEL_SMOOTHING parity: both sharded losses must equal the
     global loss under smoothing (round-1 gap: they dropped the term)."""
@@ -170,3 +174,39 @@ def test_param_shardings_tp():
     assert shardings["visual"]["proj"].spec == P()
     # shardable: device_put must succeed
     jax.device_put(params, shardings)
+
+
+def test_ring_train_step_matches_chunked():
+    """TPU.RING_LOSS end-to-end: a mesh train step with the ring loss
+    tracks the chunked-loss step numerically (same params after 2 steps),
+    through the custom-VJP backward ring pass."""
+    from msclip_tpu.config import get_default_config
+    from msclip_tpu.models import MSClipModel
+    from msclip_tpu.train.optim import build_optimizer
+    from msclip_tpu.train.trainer import init_train_state, make_train_step
+    from test_train import _batch, _cfg, tiny_spec
+
+    spec = tiny_spec()
+    model = MSClipModel(spec)
+    cfg = _cfg()
+    params = model.init(jax.random.PRNGKey(1))
+    tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=10)
+    images, tokens = _batch(spec, b=16, seed=9)
+    mesh = create_mesh(data=8, model=1)
+
+    state_a = init_train_state(model, tx, params=params)
+    step_a = make_train_step(spec, tx, mesh=mesh, donate=False,
+                             sharded_loss=True, loss_chunk=8)
+    state_b = init_train_state(model, tx, params=params)
+    step_b = make_train_step(spec, tx, mesh=mesh, donate=False,
+                             sharded_loss=True, ring_loss=True)
+    for _ in range(2):
+        state_a, m_a = step_a(state_a, images, tokens)
+        state_b, m_b = step_b(state_b, images, tokens)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

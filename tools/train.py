@@ -107,6 +107,7 @@ def main():
         spec, tx, mesh=mesh,
         sharded_loss=config.TPU.SHARDED_LOSS,
         loss_chunk=config.TPU.LOSS_CHUNK,
+        ring_loss=config.TPU.RING_LOSS,
         ema_decay=config.TRAIN.EMA_DECAY,
         label_smoothing=config.LOSS.LABEL_SMOOTHING,
         seed=config.TPU.SEED,
