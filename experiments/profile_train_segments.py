@@ -1,0 +1,133 @@
+"""Train-step segment budget on real TPU (VERDICT r3 item 6).
+
+Splits the b32 contrastive train step into measurable segments, each
+chained K times inside one jit'd lax.scan (tunnel RTT paid once):
+
+  fwd            loss value only (image tower + text tower + InfoNCE)
+  fwd_img        image tower forward alone
+  fwd_txt        text tower forward alone
+  fwd+bwd        value_and_grad, no optimizer
+  step           full step (fwd + bwd + AdamW + BN replay)
+
+Derived: bwd = (fwd+bwd) - fwd; optimizer = step - (fwd+bwd).
+
+Usage: python experiments/profile_train_segments.py [B] [K]
+Env: PROF_MODEL, PROF_PALLAS (as profile_train.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from msclip_tpu.config import get_default_config, update_config
+
+
+def scan_timed(name, fn, init_carry, K, iters=3):
+    """fn(carry, i) -> (carry, scalar); times K chained steps."""
+
+    @jax.jit
+    def run(carry):
+        c, outs = jax.lax.scan(fn, carry, jnp.arange(K))
+        return outs.sum()
+
+    t0 = time.perf_counter()
+    float(run(init_carry))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(run(init_carry))
+        times.append(time.perf_counter() - t0)
+    ms = min(times) / K * 1e3
+    print(f"{name:10s} {ms:8.2f} ms/step   (compile {compile_s:.0f}s)",
+          flush=True)
+    return ms
+
+
+def main():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from msclip_tpu.models import MSClipModel, spec_from_config
+    from msclip_tpu.train.optim import build_optimizer
+    from msclip_tpu.train.trainer import (
+        init_train_state,
+        make_loss_fn,
+        make_step_core,
+    )
+
+    cfg = get_default_config()
+    model_yaml = os.environ.get("PROF_MODEL", "b32-yfcc-msclips")
+    update_config(cfg, os.path.join(root,
+                                    f"experiments/model/{model_yaml}.yaml"))
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TPU.USE_PALLAS = os.environ.get("PROF_PALLAS", "1") != "0"
+    spec = spec_from_config(cfg)
+    model = MSClipModel(spec)
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    params = model.init(jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=1000)
+    state = init_train_state(model, tx, params=params)
+    loss_fn = make_loss_fn(spec)
+    step = make_step_core(spec, tx)
+
+    images = jax.random.normal(jax.random.PRNGKey(1), (B, 224, 224, 3),
+                               jnp.bfloat16)
+    tokens = jnp.zeros((B, 77), jnp.int32).at[:, 0].set(49406)
+    tokens = tokens.at[:, 1].set(320).at[:, 2].set(49407)
+    print(f"{model_yaml} B={B} K={K} pallas={int(spec.use_pallas)}",
+          flush=True)
+
+    from msclip_tpu.models import msclip as MM
+    from msclip_tpu.models.stem import BNState
+
+    def fwd_img(c, i):
+        f = MM.encode_image(params, spec, images + i.astype(images.dtype)
+                            * 1e-6, bn=BNState(training=True))
+        return c, f.astype(jnp.float32).sum()
+
+    def fwd_txt(c, i):
+        f = MM.encode_text(params, spec,
+                           tokens + (i * 0).astype(tokens.dtype))
+        # perturb via carry to defeat CSE on the integer input
+        return c + 1, f.astype(jnp.float32).sum() + c.astype(jnp.float32)
+
+    def fwd(c, i):
+        loss, _ = loss_fn(params, images + i.astype(images.dtype) * 1e-6,
+                          tokens)
+        return c, loss
+
+    def fwd_bwd(c, i):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, images + i.astype(images.dtype) * 1e-6, tokens
+        )
+        gs = jax.tree.reduce(
+            lambda a, g: a + g.astype(jnp.float32).sum(), grads, 0.0
+        )
+        return c, loss + gs * 0.0
+
+    def full(st, i):
+        st2, m = step(st, images + i.astype(images.dtype) * 1e-6, tokens)
+        return st2, m["loss"]
+
+    t_img = scan_timed("fwd_img", fwd_img, jnp.zeros(()), K)
+    t_txt = scan_timed("fwd_txt", fwd_txt, jnp.zeros(()), K)
+    t_fwd = scan_timed("fwd", fwd, jnp.zeros(()), K)
+    t_fb = scan_timed("fwd+bwd", fwd_bwd, jnp.zeros(()), K)
+    t_full = scan_timed("step", full, state, K)
+    print(f"derived: bwd {t_fb - t_fwd:.2f} ms, "
+          f"optimizer+BN {t_full - t_fb:.2f} ms, "
+          f"loss-only {t_fwd - t_img - t_txt:.2f} ms (fwd - towers)")
+    print(f"throughput: {B / (t_full / 1e3):,.0f} samples/s/chip")
+
+
+if __name__ == "__main__":
+    main()
