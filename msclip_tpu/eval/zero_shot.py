@@ -106,6 +106,10 @@ def make_dataset(config, transform=None):
 
     name = config.DATASET.DATASET
     root = config.DATASET.ROOT
+    from ..data.probe_datasets import PROBE_DATASETS, build_probe_dataset
+
+    if name in PROBE_DATASETS:
+        return build_probe_dataset(name, root, "test", transform=transform)
     if name == "voc2007classification":
         return Voc2007Classification(root, image_set="test",
                                      transform=transform)

@@ -49,7 +49,17 @@ def main():
 
     name = config.DATASET.DATASET
     root = config.DATASET.ROOT
-    if name == "voc2007classification":
+    from msclip_tpu.data.probe_datasets import (
+        PROBE_DATASETS,
+        build_probe_dataset,
+    )
+
+    if name in PROBE_DATASETS:
+        # transfer-suite layouts (cifar/mnist/food-101/...):
+        # README.md:24-30's probe suite, loaders in data/probe_datasets.py
+        train_ds = build_probe_dataset(name, root, "train")
+        test_ds = build_probe_dataset(name, root, "test")
+    elif name == "voc2007classification":
         train_ds = Voc2007Classification(root, image_set="train")
         test_ds = Voc2007Classification(root, image_set="test")
     elif name == "chestxray8":
