@@ -278,7 +278,9 @@ def main():
             )
         except Exception as e:
             extra["b32_train_error"] = repr(e)[:200]
-    if os.environ.get("BENCH_JPEG", "0") != "0":
+    if os.environ.get("BENCH_JPEG", "1") != "0":
+        # default-on: the JPEG->logits production-path number belongs
+        # next to the uint8 headline (BENCH_JPEG=0 to skip)
         try:
             extra.update(_bench_jpeg(model_yaml, batch,
                                      max(n_iters // 8, 2)))

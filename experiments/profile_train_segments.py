@@ -29,21 +29,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from msclip_tpu.config import get_default_config, update_config
 
 
-def scan_timed(name, fn, init_carry, K, iters=3):
-    """fn(carry, i) -> (carry, scalar); times K chained steps."""
+def scan_timed(name, fn, init_carry, args, K, iters=3):
+    """fn(args, carry, i) -> (carry, scalar); times K chained steps.
+
+    ``args`` (params/images/tokens) are real jit arguments — closing
+    over them would inline ~500 MB of weights and batch data as
+    constants into the serialized HLO and blow the remote compile
+    service's request-size limit (observed HTTP 413)."""
 
     @jax.jit
-    def run(carry):
-        c, outs = jax.lax.scan(fn, carry, jnp.arange(K))
+    def run(args, carry):
+        c, outs = jax.lax.scan(
+            lambda c, i: fn(args, c, i), carry, jnp.arange(K)
+        )
         return outs.sum()
 
     t0 = time.perf_counter()
-    float(run(init_carry))
+    float(run(args, init_carry))
     compile_s = time.perf_counter() - t0
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(run(init_carry))
+        float(run(args, init_carry))
         times.append(time.perf_counter() - t0)
     ms = min(times) / K * 1e3
     print(f"{name:10s} {ms:8.2f} ms/step   (compile {compile_s:.0f}s)",
@@ -89,40 +96,83 @@ def main():
     from msclip_tpu.models import msclip as MM
     from msclip_tpu.models.stem import BNState
 
-    def fwd_img(c, i):
-        f = MM.encode_image(params, spec, images + i.astype(images.dtype)
-                            * 1e-6, bn=BNState(training=True))
+    A = (params, images, tokens)
+
+    def fwd_img(a, c, i):
+        p, im, tk = a
+        f = MM.encode_image(p, spec, im + i.astype(im.dtype) * 1e-6,
+                            bn=BNState(training=True))
         return c, f.astype(jnp.float32).sum()
 
-    def fwd_txt(c, i):
-        f = MM.encode_text(params, spec,
-                           tokens + (i * 0).astype(tokens.dtype))
-        # perturb via carry to defeat CSE on the integer input
-        return c + 1, f.astype(jnp.float32).sum() + c.astype(jnp.float32)
+    def fwd_txt(a, c, i):
+        p, im, tk = a
+        # roll the batch per step: integer inputs can't take the +i*eps
+        # perturbation, and a loop-INVARIANT encode_text gets hoisted out
+        # of the scan by XLA (observed: 7 ms "text fwd" that was really
+        # the hoisted residue), so the input must actually change
+        f = MM.encode_text(p, spec, jnp.roll(tk, i, axis=0))
+        return c, f.astype(jnp.float32).sum()
 
-    def fwd(c, i):
-        loss, _ = loss_fn(params, images + i.astype(images.dtype) * 1e-6,
-                          tokens)
+    def fwd(a, c, i):
+        p, im, tk = a
+        loss, _ = loss_fn(p, im + i.astype(im.dtype) * 1e-6,
+                          jnp.roll(tk, i, axis=0))
         return c, loss
 
-    def fwd_bwd(c, i):
+    def fwd_bwd(a, c, i):
+        p, im, tk = a
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, images + i.astype(images.dtype) * 1e-6, tokens
+            p, im + i.astype(im.dtype) * 1e-6, jnp.roll(tk, i, axis=0)
         )
         gs = jax.tree.reduce(
-            lambda a, g: a + g.astype(jnp.float32).sum(), grads, 0.0
+            lambda acc, g: acc + g.astype(jnp.float32).sum(), grads, 0.0
         )
         return c, loss + gs * 0.0
 
-    def full(st, i):
-        st2, m = step(st, images + i.astype(images.dtype) * 1e-6, tokens)
+    def full(a, st, i):
+        _, im, tk = a
+        st2, m = step(st, im + i.astype(im.dtype) * 1e-6,
+                      jnp.roll(tk, i, axis=0))
         return st2, m["loss"]
 
-    t_img = scan_timed("fwd_img", fwd_img, jnp.zeros(()), K)
-    t_txt = scan_timed("fwd_txt", fwd_txt, jnp.zeros(()), K)
-    t_fwd = scan_timed("fwd", fwd, jnp.zeros(()), K)
-    t_fb = scan_timed("fwd+bwd", fwd_bwd, jnp.zeros(()), K)
-    t_full = scan_timed("step", full, state, K)
+    def fwd_bwd_img(a, c, i):
+        p, im, tk = a
+
+        def f(p):
+            out = MM.encode_image(p, spec, im + i.astype(im.dtype) * 1e-6,
+                                  bn=BNState(training=True))
+            return out.astype(jnp.float32).sum()
+
+        loss, grads = jax.value_and_grad(f)(p)
+        gs = jax.tree.reduce(
+            lambda acc, g: acc + g.astype(jnp.float32).sum(), grads, 0.0
+        )
+        return c, loss + gs * 0.0
+
+    def fwd_bwd_txt(a, c, i):
+        p, im, tk = a
+
+        def f(p):
+            out = MM.encode_text(p, spec, jnp.roll(tk, i, axis=0))
+            return out.astype(jnp.float32).sum()
+
+        loss, grads = jax.value_and_grad(f)(p)
+        gs = jax.tree.reduce(
+            lambda acc, g: acc + g.astype(jnp.float32).sum(), grads, 0.0
+        )
+        return c, loss + gs * 0.0
+
+    t_img = scan_timed("fwd_img", fwd_img, jnp.zeros(()), A, K)
+    t_txt = scan_timed("fwd_txt", fwd_txt, jnp.zeros(()), A, K)
+    t_fwd = scan_timed("fwd", fwd, jnp.zeros(()), A, K)
+    t_fb = scan_timed("fwd+bwd", fwd_bwd, jnp.zeros(()), A, K)
+    t_fb_img = scan_timed("fb_img", fwd_bwd_img, jnp.zeros(()), A, K)
+    t_fb_txt = scan_timed("fb_txt", fwd_bwd_txt, jnp.zeros(()), A, K)
+    t_full = scan_timed("step", full, state, A, K)
+    print(f"per-tower bwd: img {t_fb_img - t_img:.2f} ms "
+          f"({(t_fb_img - t_img) / t_img:.1f}x its fwd), "
+          f"txt {t_fb_txt - t_txt:.2f} ms "
+          f"({(t_fb_txt - t_txt) / max(t_txt, 1e-9):.1f}x its fwd)")
     print(f"derived: bwd {t_fb - t_fwd:.2f} ms, "
           f"optimizer+BN {t_full - t_fb:.2f} ms, "
           f"loss-only {t_fwd - t_img - t_txt:.2f} ms (fwd - towers)")
