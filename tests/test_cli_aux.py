@@ -94,3 +94,82 @@ def test_export_deepspeed_config(tmp_path):
     with open(path) as f:
         data = json.load(f)
     assert data["train_batch_size"] == 512
+
+
+def test_hatefulmemes_roc_auc_cli(tmp_path):
+    """hatefulmemes end-to-end through the real CLI (reference
+    tools/zero_shot.py:211-213 + roc_auc metric :294-300; our prompt and
+    dataset-yaml extension make it actually runnable)."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "hm"
+    (root / "img").mkdir(parents=True)
+    recs = []
+    for i in range(8):
+        name = f"img/{i:04d}.png"
+        Image.fromarray(
+            (rng.random((40, 50, 3)) * 255).astype(np.uint8)
+        ).save(root / name)
+        recs.append({"img": name, "text": "t", "label": i % 2})
+    (root / "dev_seen.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs)
+    )
+
+    r = _run([
+        "tools/zero_shot.py",
+        "--ds", "experiments/dataset/hatefulmemes.yaml",
+        "--model", "experiments/model/b32.yaml",
+        "DATASET.ROOT", str(root),
+        "OUTPUT_DIR", str(tmp_path / "out"),
+    ] + TINY_OPTS)
+    assert r.returncode == 0, r.stderr[-2500:]
+    assert "RESULT hatefulmemes roc_auc=" in r.stdout
+
+
+def test_chestxray8_map_cli(tmp_path):
+    """chestxray8 end-to-end: 15-class multilabel 11-point mAP through
+    the real CLI (reference loader lib/evaluation/dataset.py; eval
+    config + prompts are our extension)."""
+    import csv as _csv
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    root = tmp_path / "cx"
+    (root / "images").mkdir(parents=True)
+    from msclip_tpu.data.datasets import ChestXRay8
+
+    cats = ChestXRay8.CATEGORIES
+    rows = []
+    for i in range(6):
+        name = f"{i:08d}_000.png"
+        Image.fromarray(
+            (rng.random((48, 48)) * 255).astype(np.uint8)
+        ).save(root / "images" / name)
+        labels = "|".join(
+            [cats[i % 14]] + (["Effusion"] if i % 3 == 0 else [])
+        )
+        rows.append([name, labels])
+    with open(root / "Data_Entry_2017_v2020.csv", "w",
+              newline="") as f:
+        w = _csv.writer(f)
+        # the real file has 11 columns; the label field is not
+        # line-terminal (the loader takes parts[1] of a comma split)
+        w.writerow(["Image Index", "Finding Labels", "Follow-up"])
+        w.writerows([r + ["0"] for r in rows])
+    (root / "test_list.txt").write_text(
+        "\n".join(r[0] for r in rows) + "\n"
+    )
+
+    r = _run([
+        "tools/zero_shot.py",
+        "--ds", "experiments/dataset/chestxray8.yaml",
+        "--model", "experiments/model/b32.yaml",
+        "DATASET.ROOT", str(root),
+        "OUTPUT_DIR", str(tmp_path / "out"),
+    ] + TINY_OPTS)
+    assert r.returncode == 0, r.stderr[-2500:]
+    assert "RESULT chestxray8 11point_mAP=" in r.stdout
