@@ -19,11 +19,13 @@ drivers can consume the public distributions directly:
                    Rendered-SST2, Birdsnap (already covered by
                    ``ImageFolderDataset``; the registry maps them)
 
+  h5 arrays        PatchCamelyon (h5py)
+
 Every dataset yields ``(transform(PIL image), int label)`` with the
 standard eval transform by default, so all of them drop into
 ``BatchLoader`` / ``run_linear_probe`` / ``run_zero_shot`` unchanged.
-Video (UCF101, Kinetics) and patch-archive (PCam) formats are out of
-scope for an image CLIP probe stack.
+Video formats (UCF101, Kinetics) are out of scope for an image CLIP
+probe stack.
 """
 
 from __future__ import annotations
@@ -355,7 +357,7 @@ PROBE_DATASETS = {
     "oxford-iiit-pets": OxfordPets,
     "gtsrb": Gtsrb,
     "oxford-flower-102": Flowers102,
-    "fgvc-aircraft-2013b": None,  # txt-layout, see build_probe_dataset
+    "fgvc-aircraft-2013b": None,  # bound below (defined after this dict)
     "stanford-cars": StanfordCars,
 }
 
@@ -385,7 +387,28 @@ class FgvcAircraft(_PathDataset):
         super().__init__(samples, classes, transform)
 
 
+class PatchCamelyon(_ArrayDataset):
+    """PatchCamelyon (``camelyonpatch_level_2_split_<set>_{x,y}.h5``:
+    x [N, 96, 96, 3] uint8, y [N, 1, 1, 1])."""
+
+    def __init__(self, root: str, image_set: str = "train",
+                 transform: Optional[Callable] = None):
+        import h5py
+
+        name = {"train": "train", "val": "valid", "test": "test"}[image_set]
+        with h5py.File(os.path.join(
+            root, f"camelyonpatch_level_2_split_{name}_x.h5"
+        ), "r") as f:
+            x = np.asarray(f["x"], np.uint8)
+        with h5py.File(os.path.join(
+            root, f"camelyonpatch_level_2_split_{name}_y.h5"
+        ), "r") as f:
+            y = np.asarray(f["y"]).reshape(-1).astype(np.int64)
+        super().__init__(x, y, transform)
+
+
 PROBE_DATASETS["fgvc-aircraft-2013b"] = FgvcAircraft
+PROBE_DATASETS["pcam"] = PatchCamelyon
 
 
 def build_probe_dataset(name: str, root: str, image_set: str,

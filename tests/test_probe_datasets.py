@@ -303,3 +303,29 @@ def test_registry_and_probe_integration(tmp_path):
     batches = list(BatchLoader(ds, 4, workers=2))
     assert sum(int(b["mask"].sum()) for b in batches) == 6
     assert batches[0]["image"].shape == (4, 224, 224, 3)
+
+
+def test_pcam_h5(tmp_path):
+    import h5py
+
+    from msclip_tpu.data.probe_datasets import PatchCamelyon
+
+    rng = np.random.default_rng(7)
+    for name, n in (("train", 4), ("test", 2)):
+        with h5py.File(
+            tmp_path / f"camelyonpatch_level_2_split_{name}_x.h5", "w"
+        ) as f:
+            f.create_dataset(
+                "x", data=rng.integers(0, 256, (n, 96, 96, 3), np.uint8)
+            )
+        with h5py.File(
+            tmp_path / f"camelyonpatch_level_2_split_{name}_y.h5", "w"
+        ) as f:
+            f.create_dataset(
+                "y", data=rng.integers(0, 2, (n, 1, 1, 1), np.uint8)
+            )
+    tr = PatchCamelyon(str(tmp_path), "train", transform=_tf)
+    te = PatchCamelyon(str(tmp_path), "test", transform=_tf)
+    assert len(tr) == 4 and len(te) == 2
+    img, label = tr[0]
+    assert img.shape == (8, 8, 3) and label in (0, 1)
