@@ -253,6 +253,9 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
     int(pending)
     elapsed = time.perf_counter() - t0
     out["jpeg_eval_ips"] = round(batch * n_batches / elapsed, 1)
+    # the end-to-end number is host-decode-bound: scale by cores
+    # (jpeg_decode_ips_core x cores vs the uint8 device headline)
+    out["jpeg_host_cores"] = os.cpu_count()
     return out
 
 
