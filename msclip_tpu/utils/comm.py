@@ -94,13 +94,29 @@ def all_gather_object(data):
 def gather_arrays(x: np.ndarray) -> np.ndarray:
     """Concatenate a per-process array along axis 0 across processes
     (host-side analogue of the reference's ``gather_tensors``; the
-    *training* gather is ``jax.lax.all_gather`` inside jit)."""
+    *training* gather is ``jax.lax.all_gather`` inside jit).
+
+    Leading dims may DIFFER across processes — the eval stripes
+    (``order[rank::world]``) differ by up to one batch when the dataset
+    size is not divisible by the world size, and a raw
+    ``process_allgather`` of unequal shapes crashes gloo / mis-gathers
+    (observed in the 2-process test). Gather the lengths first, pad to
+    the max, and slice the padding back off."""
+    x = np.asarray(x)
     if jax.process_count() == 1:
-        return np.asarray(x)
+        return x
     from jax.experimental import multihost_utils
 
-    out = multihost_utils.process_allgather(np.asarray(x))
-    return out.reshape((-1,) + out.shape[2:])
+    n = np.array([x.shape[0]], np.int32)
+    all_n = multihost_utils.process_allgather(n).ravel()
+    max_n = int(all_n.max())
+    if x.shape[0] < max_n:
+        pad = np.zeros((max_n - x.shape[0],) + x.shape[1:], x.dtype)
+        x = np.concatenate([x, pad])
+    out = multihost_utils.process_allgather(x)  # [P, max_n, ...]
+    return np.concatenate(
+        [out[i, : int(all_n[i])] for i in range(len(all_n))]
+    )
 
 
 def reduce_dict(d: Dict[str, float], average: bool = True) -> Dict[str, float]:

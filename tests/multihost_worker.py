@@ -1,0 +1,90 @@
+"""Worker for the 2-process multi-host test (``test_multihost.py``).
+
+Run as: python multihost_worker.py <process_id> <num_processes> <port>
+Initializes jax.distributed over localhost with a 2-CPU-device platform
+per process, exercises the utils/comm.py surface at a REAL process
+boundary, and prints CHECK lines the parent asserts on.
+"""
+
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=nproc,
+    process_id=pid,
+)
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from msclip_tpu.utils.comm import (
+    all_gather_object,
+    comm,
+    gather_arrays,
+    reduce_dict,
+)
+
+assert comm.rank == pid and comm.world_size == nproc
+assert comm.is_main_process() == (pid == 0)
+assert jax.device_count() == 2 * nproc  # global devices across processes
+comm.synchronize()
+
+# object gather: different-sized payloads per process
+objs = all_gather_object({"rank": pid, "payload": "x" * (10 + 100 * pid)})
+assert [o["rank"] for o in objs] == list(range(nproc)), objs
+assert len(objs[1]["payload"]) == 110
+
+# array gather: EQUAL shapes
+arr = np.full((3, 4), pid, np.float32)
+out = gather_arrays(arr)
+assert out.shape == (3 * nproc, 4), out.shape
+assert (out[:3] == 0).all() and (out[3:6] == 1).all()
+
+# array gather: UNEQUAL leading dims (eval stripes differ by one batch
+# when the dataset size is not divisible by world size)
+uneq = np.full((2 + pid, 4), pid, np.float32)
+out = gather_arrays(uneq)
+assert out.shape == (2 * nproc + nproc * (nproc - 1) // 2, 4), out.shape
+assert (out[:2] == 0).all() and (out[2:5] == 1).all()
+
+# metric reduction
+red = reduce_dict({"loss": float(pid + 1), "n": 10.0}, average=False)
+assert red["loss"] == sum(range(1, nproc + 1)) and red["n"] == 10.0 * nproc
+avg = reduce_dict({"loss": float(pid + 1)}, average=True)
+assert abs(avg["loss"] - (nproc + 1) / 2) < 1e-6
+
+# a real cross-process collective: global-batch psum over the 4-device
+# mesh (data-parallel loss semantics across process boundaries)
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("data",))
+local = np.full((2, 8), float(pid + 1), np.float32)  # one row per local dev
+from jax.experimental import multihost_utils
+
+garr = multihost_utils.host_local_array_to_global_array(
+    local, mesh, P("data")
+)
+
+
+@jax.jit
+def global_mean(x):
+    return x.mean()
+
+
+gm = float(global_mean(garr))
+want = np.mean([p + 1 for p in range(nproc) for _ in range(2)])
+assert abs(gm - want) < 1e-6, (gm, want)
+
+print(f"CHECK rank={pid} ok", flush=True)
