@@ -87,4 +87,72 @@ gm = float(global_mean(garr))
 want = np.mean([p + 1 for p in range(nproc) for _ in range(2)])
 assert abs(gm - want) < 1e-6, (gm, want)
 
+# ---- end-to-end striped zero-shot eval across the two processes ----
+# Each process evaluates its stripe (order[rank::world]); the merged
+# metric must EQUAL the single-process run on the full dataset. 18
+# samples / 2 processes -> unequal per-batch tails exercise the padded
+# gather. Covers both merge branches (accuracy reduce_dict; multilabel
+# logits gather_arrays).
+from msclip_tpu.config import get_default_config
+from msclip_tpu.eval.zero_shot import run_zero_shot
+from msclip_tpu.data.datasets import SyntheticImageDataset
+
+cfg = get_default_config()
+cfg.merge_from_dict({
+    "DATASET": {"DATASET": "synthetic", "NUM_SAMPLES": 18,
+                "NUM_CLASSES": 10},
+    "TRAIN": {"IMAGE_SIZE": [32, 32]},
+    "TEST": {"IMAGE_SIZE": [32, 32], "BATCH_SIZE_PER_GPU": 2,
+             "SUBSET_CLASSES": 10},
+    "MODEL": {"SPEC": {
+        "EMBED_DIM": 16,
+        "VISION": {"WIDTH": 64, "LAYERS": 2, "PATCH_SIZE": 16},
+        "TEXT": {"WIDTH": 64, "HEADS": 2, "LAYERS": 2},
+    }},
+    "WORKERS": 2,
+})
+value, stats = run_zero_shot(cfg, prompt_dataset="imagenet")
+# single-process truth computed identically on rank 0's full view:
+# re-run with a world-of-one by monkeypatching the comm rank/world
+import msclip_tpu.utils.comm as C
+
+single = {}
+if pid == 0:
+    class _Solo:
+        rank = 0
+        world_size = 1
+
+        @staticmethod
+        def is_main_process():
+            return True
+
+        @staticmethod
+        def synchronize():
+            pass
+
+    orig = C.comm
+    try:
+        # run_zero_shot re-imports utils.comm.comm at call time, so
+        # patching the module attribute gives it a world of one
+        C.comm = _Solo()
+        solo_value, _ = run_zero_shot(cfg, prompt_dataset="imagenet")
+    finally:
+        C.comm = orig
+    assert abs(value - solo_value) < 1e-6, (value, solo_value)
+comm.synchronize()
+assert stats["n_images"] == 9
+
+# same, through the gathered-logits merge branch (mean-per-class): the
+# striped run's gathered logits/labels must reproduce the solo metric
+cfg.TEST.METRIC = "mean-per-class"
+value_mpc, _ = run_zero_shot(cfg, prompt_dataset="imagenet")
+if pid == 0:
+    try:
+        C.comm = _Solo()
+        solo_mpc, _ = run_zero_shot(cfg, prompt_dataset="imagenet")
+    finally:
+        C.comm = orig
+    assert abs(value_mpc - solo_mpc) < 1e-6, (value_mpc, solo_mpc)
+comm.synchronize()
+
 print(f"CHECK rank={pid} ok", flush=True)
