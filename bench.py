@@ -281,14 +281,15 @@ def main():
             )
         except Exception as e:
             extra["b32_train_error"] = repr(e)[:200]
-    if os.environ.get("BENCH_JPEG", "1") != "0":
-        # default-on: the JPEG->logits production-path number belongs
-        # next to the uint8 headline (BENCH_JPEG=0 to skip)
-        try:
-            extra.update(_bench_jpeg(model_yaml, batch,
-                                     max(n_iters // 8, 2)))
-        except Exception as e:
-            extra["jpeg_error"] = repr(e)[:200]
+        if os.environ.get("BENCH_JPEG", "1") != "0":
+            # default-on: the JPEG->logits production-path number belongs
+            # next to the uint8 headline (BENCH_JPEG=0 to skip; honors
+            # BENCH_QUICK=1 like every other extra)
+            try:
+                extra.update(_bench_jpeg(model_yaml, batch,
+                                         max(n_iters // 8, 2)))
+            except Exception as e:
+                extra["jpeg_error"] = repr(e)[:200]
 
     print(
         json.dumps(

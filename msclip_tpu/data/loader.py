@@ -55,10 +55,12 @@ def sampler_order(n: int, sampler: str = "default", *, shuffle=False,
         labels = np.asarray(labels)
         classes = np.unique(labels)
         draws = rng.choice(classes, size=n)
-        # pools grouped by class: argsort(labels) sliced at class boundaries
+        # pools grouped by class: argsort(labels) sliced at class
+        # boundaries — bounded by the DATASET size, not the draw count
+        # (n may be smaller/larger than len(labels))
         by_label = np.argsort(labels, kind="stable")
         pool_starts = np.searchsorted(labels[by_label], classes)
-        pool_ends = np.append(pool_starts[1:], n)
+        pool_ends = np.append(pool_starts[1:], len(labels))
         # slots grouped by drawn class, in slot order (stable sort)
         by_draw = np.argsort(draws, kind="stable")
         drawn, counts = np.unique(draws[by_draw], return_counts=True)

@@ -343,25 +343,6 @@ class StanfordCars(_PathDataset):
         super().__init__(samples, [str(i) for i in range(196)], transform)
 
 
-# name -> (class, default split kwargs); ImageFolder-layout members of the
-# suite route through datasets.ImageFolderDataset via the TEST_SET dir.
-PROBE_DATASETS = {
-    "cifar-10": Cifar10,
-    "cifar-100": Cifar100,
-    "mnist": Mnist,
-    "fer-2013": Fer2013,
-    "stl-10": Stl10,
-    "food-101": Food101,
-    "dtd": Dtd,
-    "sun397": Sun397,
-    "oxford-iiit-pets": OxfordPets,
-    "gtsrb": Gtsrb,
-    "oxford-flower-102": Flowers102,
-    "fgvc-aircraft-2013b": None,  # bound below (defined after this dict)
-    "stanford-cars": StanfordCars,
-}
-
-
 class FgvcAircraft(_PathDataset):
     """FGVC-Aircraft (``data/images/`` + ``data/images_variant_train.txt``
     lines ``<id> <variant name...>``)."""
@@ -387,28 +368,59 @@ class FgvcAircraft(_PathDataset):
         super().__init__(samples, classes, transform)
 
 
-class PatchCamelyon(_ArrayDataset):
+class PatchCamelyon:
     """PatchCamelyon (``camelyonpatch_level_2_split_<set>_{x,y}.h5``:
-    x [N, 96, 96, 3] uint8, y [N, 1, 1, 1])."""
+    x [N, 96, 96, 3] uint8, y [N, 1, 1, 1]). Images are sliced from the
+    h5 dataset per item — the real train split is ~7 GB uint8, far too
+    large to materialize at init (labels are tiny and load eagerly)."""
 
     def __init__(self, root: str, image_set: str = "train",
                  transform: Optional[Callable] = None):
         import h5py
 
         name = {"train": "train", "val": "valid", "test": "test"}[image_set]
-        with h5py.File(os.path.join(
+        self._x_path = os.path.join(
             root, f"camelyonpatch_level_2_split_{name}_x.h5"
-        ), "r") as f:
-            x = np.asarray(f["x"], np.uint8)
+        )
+        self._h5 = None  # opened lazily per process/thread use
         with h5py.File(os.path.join(
             root, f"camelyonpatch_level_2_split_{name}_y.h5"
         ), "r") as f:
-            y = np.asarray(f["y"]).reshape(-1).astype(np.int64)
-        super().__init__(x, y, transform)
+            self.labels = np.asarray(f["y"]).reshape(-1).astype(np.int64)
+        self.transform = transform or pil_eval_transform
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __getitem__(self, i):
+        import h5py
+
+        if self._h5 is None:
+            self._h5 = h5py.File(self._x_path, "r")
+        arr = np.asarray(self._h5["x"][i], np.uint8)
+        return self.transform(_pil(arr)), int(self.labels[i])
 
 
-PROBE_DATASETS["fgvc-aircraft-2013b"] = FgvcAircraft
-PROBE_DATASETS["pcam"] = PatchCamelyon
+# name -> loader class (defined after every class so no placeholders);
+# ImageFolder-layout members of the suite (eurosat, resisc45,
+# country211, caltech-101, rendered-sst2, birdsnap) route through
+# datasets.ImageFolderDataset via DATASET.TEST_SET instead.
+PROBE_DATASETS = {
+    "cifar-10": Cifar10,
+    "cifar-100": Cifar100,
+    "mnist": Mnist,
+    "fer-2013": Fer2013,
+    "stl-10": Stl10,
+    "food-101": Food101,
+    "dtd": Dtd,
+    "sun397": Sun397,
+    "oxford-iiit-pets": OxfordPets,
+    "gtsrb": Gtsrb,
+    "oxford-flower-102": Flowers102,
+    "fgvc-aircraft-2013b": FgvcAircraft,
+    "stanford-cars": StanfordCars,
+    "pcam": PatchCamelyon,
+}
 
 
 def build_probe_dataset(name: str, root: str, image_set: str,

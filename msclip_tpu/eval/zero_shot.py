@@ -15,6 +15,7 @@ The TPU-native rebuild of the reference eval pipeline
 from __future__ import annotations
 
 import logging
+import os
 import time
 from functools import partial
 
@@ -242,6 +243,11 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
         }
         if all_logits:
             arrs["logits"] = np.concatenate(all_logits)
+        if comm.world_size > 1:
+            # one file per stripe — identical paths on a shared
+            # filesystem would clobber each other (last writer wins)
+            root, ext = os.path.splitext(save_pred)
+            save_pred = f"{root}.rank{comm.rank}{ext or '.npz'}"
         np.savez(save_pred, **arrs)
         logging.info(f"=> saved per-image predictions to {save_pred}")
 

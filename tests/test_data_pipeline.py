@@ -326,3 +326,30 @@ def test_batchloader_fast_forward():
     # one-shot: the following epoch iterates in full
     labels = np.concatenate([b["label"] for b in loader])
     assert labels.tolist() == list(range(32))
+
+
+def test_class_aware_draw_count_differs_from_dataset_size():
+    """Regression: the vectorized sampler must bound class pools by the
+    DATASET size, not the draw count (n < len(labels) crashed with an
+    empty tail-class pool; n slightly below len(labels) silently dropped
+    the last class's tail instances)."""
+    import numpy as np
+
+    from msclip_tpu.data.loader import sampler_order
+
+    labels = np.array([0] * 50 + [1] * 50)
+    o = sampler_order(40, "class_aware", seed=0, labels=labels)
+    assert len(o) == 40 and o.min() >= 0 and o.max() < 100
+    assert (labels[o] == 1).any() and (labels[o] == 0).any()
+
+    # n just below the dataset size: the last class's tail instances
+    # (90-99) must still be reachable
+    labels = np.array([0] * 90 + [1] * 10)
+    o = sampler_order(95, "class_aware", seed=1, labels=labels)
+    drawn_tail = set(int(i) for i in o if i >= 90)
+    assert len(drawn_tail) > 5, drawn_tail
+
+    # n larger than the dataset still reshuffle-chains evenly
+    o = sampler_order(300, "class_aware", seed=2, labels=labels)
+    counts = np.bincount(o[labels[o] == 1], minlength=100)[90:]
+    assert counts.max() - counts.min() <= 1

@@ -96,7 +96,11 @@ def main():
             # Mid-epoch resume: fast-forward past the batches the restored
             # step already consumed so the data position matches the
             # step/LR schedule instead of replaying the epoch from batch 0.
-            resume_skip = int(step) % steps_per_epoch
+            # Derive the modulus from the loader's ACTUAL per-epoch batch
+            # count — the config estimate len(dataset)//global_batch can
+            # differ under striped multi-process sharding, and a mismatch
+            # would silently skip real batches.
+            resume_skip = int(step) % max(len(loader), 1)
             if resume_skip:
                 logging.info(
                     f"=> resume fast-forward: skipping {resume_skip} "
