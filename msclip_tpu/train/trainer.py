@@ -235,11 +235,29 @@ def make_train_step(spec, tx, mesh=None, sharded_loss=False,
             cache["fn"] = jax.jit(
                 pinned, donate_argnums=(0,) if donate else ()
             )
-        images = jax.device_put(images, batch_sh)
-        tokens = jax.device_put(tokens, batch_sh)
+        images = _commit_batch(images, mesh, batch_sh)
+        tokens = _commit_batch(tokens, mesh, batch_sh)
         return cache["fn"](state, images, tokens)
 
     return jitted
+
+
+def _commit_batch(x, mesh, batch_sh):
+    """Commit a host batch to the data axis.
+
+    Single-process: plain ``device_put``. Multi-process: the array in
+    hand is this process's STRIPE of the global batch (the loader shards
+    by ``(process_index, process_count)``), and a device_put onto a
+    sharding spanning non-addressable devices is invalid — assemble the
+    global array from the host-local shards instead."""
+    if jax.process_count() > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, P(DATA_AXIS)
+        )
+    return jax.device_put(x, batch_sh)
 
 
 def init_train_state(model, tx, key=None, ema_decay: float = 0.0,

@@ -155,4 +155,59 @@ if pid == 0:
     assert abs(value_mpc - solo_mpc) < 1e-6, (value_mpc, solo_mpc)
 comm.synchronize()
 
+# ---- multi-process TRAINING: global-batch InfoNCE across processes ----
+# Each process feeds its stripe of a fixed global batch; the mesh spans
+# all 4 devices across both processes. The loss must equal the
+# single-process computation on the assembled global batch (the
+# property the reference gets from its gather_tensors hack).
+from msclip_tpu.models import MSClipModel, MSClipSpec
+from msclip_tpu.parallel import create_mesh, infonce_loss, shard_params
+from msclip_tpu.train.optim import build_optimizer
+from msclip_tpu.train.trainer import init_train_state, make_train_step
+
+spec = MSClipSpec(
+    embed_dim=16, image_resolution=32, vision_width=64, vision_layers=2,
+    vision_patch_size=16, vision_heads=2, text_width=64, text_heads=2,
+    text_layers=2, vocab_size=128, context_length=16,
+)
+model = MSClipModel(spec)
+tcfg = get_default_config()
+tcfg.TRAIN.LR = 1e-3
+params = model.init(jax.random.PRNGKey(0))
+
+mesh = create_mesh(data=jax.device_count(), model=1)
+params = shard_params(params, mesh)
+tx, _ = build_optimizer(tcfg, params, spec, steps_per_epoch=10)
+state = init_train_state(model, tx, params=params)
+step = make_train_step(spec, tx, mesh=mesh, sharded_loss=True,
+                       loss_chunk=4, donate=False)
+
+rng = np.random.default_rng(42)  # same on both ranks: shared fixture
+g_images = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+g_tokens = np.zeros((8, 16), np.int32)
+g_tokens[:, 0] = 126
+g_tokens[:, 1:4] = rng.integers(1, 126, (8, 3))
+g_tokens[:, 4] = 127
+# this process's stripe: contiguous block (host_local -> global assembles
+# blocks in process order along the data axis)
+lo, hi = pid * 4, (pid + 1) * 4
+state2, metrics = step(state, g_images[lo:hi], g_tokens[lo:hi])
+loss = float(metrics["loss"])
+assert np.isfinite(loss)
+# single-process truth: unsharded InfoNCE on the full global batch with
+# the same (replicated) params
+fi = model.encode_image(
+    jax.tree.map(lambda l: np.asarray(l), params), jnp.asarray(g_images)
+)
+ft = model.encode_text(
+    jax.tree.map(lambda l: np.asarray(l), params), jnp.asarray(g_tokens)
+)
+want = float(infonce_loss(fi, ft, jnp.asarray(np.asarray(
+    params["logit_scale"]))))
+assert abs(loss - want) < 1e-4, (loss, want)
+# and one more step runs (the pinned-sharding cache path, multi-process)
+state3, metrics2 = step(state2, g_images[lo:hi], g_tokens[lo:hi])
+assert np.isfinite(float(metrics2["loss"]))
+comm.synchronize()
+
 print(f"CHECK rank={pid} ok", flush=True)
