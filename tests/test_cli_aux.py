@@ -173,3 +173,60 @@ def test_chestxray8_map_cli(tmp_path):
     ] + TINY_OPTS)
     assert r.returncode == 0, r.stderr[-2500:]
     assert "RESULT chestxray8 11point_mAP=" in r.stdout
+
+
+def test_retrieval_cli_karpathy(tmp_path):
+    """tools/retrieval.py over a tiny Karpathy-split corpus: loader
+    parses the standard annotation shape (flickr flat / coco filepath,
+    restval->train) and the CLI reports bidirectional R@K."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img_root = tmp_path / "images"
+    (img_root / "val2014").mkdir(parents=True)
+    records = []
+    for i in range(6):
+        sub = "val2014" if i % 2 else ""
+        name = f"im_{i}.jpg"
+        os.makedirs(img_root / sub, exist_ok=True)
+        Image.fromarray(
+            (rng.random((50, 60, 3)) * 255).astype(np.uint8)
+        ).save(img_root / sub / name)
+        records.append({
+            "filename": name, "filepath": sub,
+            "split": ["test", "test", "test", "test", "val",
+                      "restval"][i],
+            "sentences": [{"raw": f"caption {i} a"},
+                          {"raw": f"caption {i} b"}],
+        })
+    ann = tmp_path / "dataset.json"
+    ann.write_text(json.dumps({"images": records}))
+
+    # loader semantics checked directly too
+    from msclip_tpu.data.retrieval_datasets import load_karpathy_split
+
+    ds, caps, cap2img = load_karpathy_split(str(img_root), str(ann),
+                                            split="test")
+    assert len(ds) == 4 and len(caps) == 8
+    assert list(cap2img) == [0, 0, 1, 1, 2, 2, 3, 3]
+    dtr, _, _ = load_karpathy_split(str(img_root), str(ann),
+                                    split="train")
+    assert len(dtr) == 1  # restval counts as train
+
+    r = _run([
+        "tools/retrieval.py",
+        "--model", "experiments/model/b32.yaml",
+        "--ann", str(ann),
+        "--images", str(img_root),
+        "--split", "test",
+        "OUTPUT_DIR", str(tmp_path / "out"),
+    ] + TINY_OPTS)
+    assert r.returncode == 0, r.stderr[-2500:]
+    line = [l for l in r.stdout.splitlines()
+            if l.startswith("RESULT retrieval")][0]
+    # R@k monotone in k, and with 4 images R@10 >= R@4 == 100
+    vals = dict(kv.split("=") for kv in line.split()[2:])
+    assert float(vals["i2t_r10"]) == 100.0
+    assert float(vals["t2i_r10"]) == 100.0
+    assert float(vals["i2t_r1"]) <= float(vals["i2t_r5"])
