@@ -62,6 +62,12 @@ def _bench_eval(model_yaml: str, batch: int, n_iters: int) -> float:
         from msclip_tpu.models.folding import fold_params_for_eval
 
         params = fold_params_for_eval(params, spec)
+    if os.environ.get("BENCH_CAST_PARAMS", "0") != "0":
+        # bf16-stored weights (halved weight HBM reads; the serving
+        # memory mode) — measure vs the fp32-stored default
+        from msclip_tpu.models.msclip import cast_params
+
+        params = cast_params(params)
     if os.environ.get("BENCH_INT8", "0") != "0":
         from msclip_tpu.models.quantize import quantize_params_for_eval
 
