@@ -133,6 +133,11 @@ def get_default_config() -> CfgNode:
     c.TRAIN.DETECT_ANOMALY = False
     c.TRAIN.CLIP_GRAD_NORM = 0.0
     c.TRAIN.SAVE_ALL_MODELS = False
+    # TPU-repo extension: mid-epoch checkpoint cadence (steps; 0 = only
+    # at epoch end). With AUTO_RESUME, a preempted run resumes at the
+    # last step checkpoint and fast-forwards the loader past the
+    # already-seen batches of that epoch.
+    c.TRAIN.SAVE_EVERY_STEPS = 0
 
     c.TEST = CfgNode(open_node=True)
     c.TEST.BATCH_SIZE_PER_GPU = 32

@@ -32,13 +32,18 @@ class CheckpointManager:
         self.directory = os.path.abspath(directory)
         self.mgr = _manager(directory, max_to_keep)
 
-    def save(self, step: int, params, opt_state=None, extra: Optional[dict] = None):
+    def save(self, step: int, params, opt_state=None,
+             extra: Optional[dict] = None, force: bool = False):
+        """``force=True`` overwrites an existing checkpoint at ``step``
+        (the epoch-end save when TRAIN.SAVE_EVERY_STEPS just saved the
+        same step mid-loop — the epoch-end metadata must win so resume
+        starts the NEXT epoch)."""
         items = {"params": ocp.args.StandardSave(params)}
         if opt_state is not None:
             items["opt_state"] = ocp.args.StandardSave(opt_state)
         if extra:
             items["extra"] = ocp.args.JsonSave(extra)
-        self.mgr.save(step, args=ocp.args.Composite(**items))
+        self.mgr.save(step, args=ocp.args.Composite(**items), force=force)
 
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()

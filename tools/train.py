@@ -129,12 +129,18 @@ def main():
             loader.fast_forward(resume_skip)
         t0 = time.time()
         seen = 0
+        save_every = config.TRAIN.SAVE_EVERY_STEPS
         for i, batch in enumerate(loader):
             state, metrics = step_fn(
                 state, jnp.asarray(batch["image"]),
                 jnp.asarray(batch["tokens"]),
             )
             seen += batch["image"].shape[0]
+            if save_every and int(state.step) % save_every == 0:
+                # mid-epoch checkpoint: epoch NOT advanced (resume
+                # re-enters this epoch and fast-forwards the loader)
+                ckpt_mgr.save(int(state.step), state.params,
+                              state.opt_state, extra={"epoch": epoch})
             if (i + 1) % config.PRINT_FREQ == 0:
                 loss = float(metrics["loss"])
                 ips = seen / (time.time() - t0)
@@ -149,7 +155,8 @@ def main():
                 swa_params, swa_n = swa_update(swa_params, state.params,
                                                swa_n)
         ckpt_mgr.save(int(state.step), state.params, state.opt_state,
-                      extra={"epoch": epoch + 1})
+                      extra={"epoch": epoch + 1},
+                      force=bool(save_every))  # may overwrite a step save
         if state.ema_params is not None or swa_params is not None:
             # EMA/SWA shadows: the reference's ema_shadow_states /
             # swa_states checkpoint fields (lib/utils/utils.py:157-201)
