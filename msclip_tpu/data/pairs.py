@@ -11,6 +11,10 @@ is not part of the release. We provide:
 * ``SyntheticPairDataset`` — deterministic random pairs for CI/bench.
 
 All yield ``(float32 HWC image, int32 [context_length] tokens)``.
+``make_train_dataset`` wires the TRAINING transform — RandomResizedCrop
+(``AUG.SCALE``/``AUG.RATIO``, bilinear) + horizontal flip + normalize,
+with the native C++ JPEG pipeline under ``MSCLIP_NATIVE_DECODE=1`` —
+while a bare dataset defaults to the deterministic eval transform.
 """
 
 from __future__ import annotations
@@ -22,6 +26,26 @@ import numpy as np
 
 from .tokenizer import ClipTokenizer
 from .transforms import pil_eval_transform
+
+
+def _native_train_decode(path: str, size, mean, std, scale, hflip_p):
+    """JPEG fast path for training decode: the C++ RandomResizedCrop +
+    flip + normalize pipeline (``native.decode_train``), with DCT-scaled
+    decode when ``MSCLIP_DCT_SCALE=1``. Returns None for non-JPEG input
+    or native failure (caller falls back to the PIL transform)."""
+    if os.environ.get("MSCLIP_NATIVE_DECODE") != "1":
+        return None
+    from .. import native as N
+
+    if not path.lower().endswith((".jpg", ".jpeg")):
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    seed = int(np.random.default_rng().integers(1, 2 ** 63))
+    return N.decode_train(
+        data, size, mean, std, seed=seed, scale=scale, hflip_p=hflip_p,
+        dct_scale=os.environ.get("MSCLIP_DCT_SCALE") == "1",
+    )
 
 
 class TsvPairDataset:
@@ -50,7 +74,10 @@ class TsvPairDataset:
         from .datasets import _load_image
 
         path, caption = self.entries[i]
-        image = self.transform(_load_image(path))
+        if getattr(self.transform, "takes_path", False):
+            image = self.transform(path)
+        else:
+            image = self.transform(_load_image(path))
         tokens = self.tokenizer([caption], self.context_length)[0]
         return image, tokens
 
@@ -83,7 +110,10 @@ class FolderPairDataset:
         img_path, txt_path = self.items[i]
         with open(txt_path) as f:
             caption = f.read().strip()
-        image = self.transform(_load_image(img_path))
+        if getattr(self.transform, "takes_path", False):
+            image = self.transform(img_path)
+        else:
+            image = self.transform(_load_image(img_path))
         tokens = self.tokenizer([caption], self.context_length)[0]
         return image, tokens
 
@@ -114,12 +144,45 @@ class SyntheticPairDataset:
         return image, tokens
 
 
+def make_train_transform(config):
+    """Per-sample training transform from the AUG config surface:
+    RandomResizedCrop(AUG.SCALE, AUG.RATIO) + flip + normalize. JPEGs
+    route through the native C++ pipeline under MSCLIP_NATIVE_DECODE=1
+    (same aug semantics, seeded in-library); everything else uses the
+    PIL implementation."""
+    import functools
+
+    from .transforms import pil_train_transform
+
+    size = config.TRAIN.IMAGE_SIZE[0]
+    mean = tuple(config.INPUT.MEAN)
+    std = tuple(config.INPUT.STD)
+    scale = tuple(config.AUG.SCALE)
+    ratio = tuple(config.AUG.RATIO)
+    pil_fn = functools.partial(pil_train_transform, size=size, mean=mean,
+                               std=std, scale=scale, ratio=ratio)
+
+    def transform(path):
+        img = _native_train_decode(path, size, mean, std, scale, 0.5)
+        if img is not None:
+            return img
+        from .datasets import _load_image
+
+        return pil_fn(_load_image(path))
+
+    # marker: the pair datasets hand this transform the PATH (so the
+    # native branch can decode raw bytes without a PIL round trip)
+    transform.takes_path = True
+    return transform
+
+
 def make_train_dataset(config, tokenizer: Optional[ClipTokenizer] = None):
     tokenizer = tokenizer or ClipTokenizer()
     ctx = config.MODEL.SPEC.TEXT.get("CONTEXT_LENGTH", 77)
+    transform = make_train_transform(config)
     tsvs = config.DATASET.get("TRAIN_TSV_LIST", [])
     if tsvs:
-        return TsvPairDataset(tsvs, tokenizer, ctx)
+        return TsvPairDataset(tsvs, tokenizer, ctx, transform=transform)
     name = config.DATASET.DATASET
     if name == "synthetic":
         return SyntheticPairDataset(
@@ -129,4 +192,4 @@ def make_train_dataset(config, tokenizer: Optional[ClipTokenizer] = None):
             vocab_size=config.MODEL.SPEC.TEXT.get("VOCAB_SIZE", 49408),
         )
     root = os.path.join(config.DATASET.ROOT, config.DATASET.TRAIN_SET)
-    return FolderPairDataset(root, tokenizer, ctx)
+    return FolderPairDataset(root, tokenizer, ctx, transform=transform)

@@ -48,6 +48,53 @@ def pil_eval_transform(image, size: int = 224,
     return arr
 
 
+def pil_train_transform(image, size: int = 224,
+                        mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                        scale=(0.08, 1.0),
+                        ratio=(3.0 / 4.0, 4.0 / 3.0),
+                        hflip_p: float = 0.5, rng=None) -> np.ndarray:
+    """Training transform: torchvision ``RandomResizedCrop(size,
+    scale, ratio)`` semantics (10 box attempts, then the clamped-ratio
+    center-crop fallback; BILINEAR resample — torchvision's default for
+    RandomResizedCrop, unlike the eval path's bicubic) + horizontal flip
+    + normalize. ``rng``: np.random.Generator; omitted -> OS-entropy
+    (the DataLoader-worker default); pass one for determinism.
+    Reference counterpart: the unreleased training transform implied by
+    ``AUG.SCALE``/``AUG.RATIO`` (lib/config/default.py:83-84)."""
+    from PIL import Image
+
+    rng = rng if rng is not None else np.random.default_rng()
+    if image.mode != "RGB":
+        image = image.convert("RGB")
+    w, h = image.size
+    area = float(w * h)
+    for _ in range(10):
+        target = area * rng.uniform(scale[0], scale[1])
+        ar = np.exp(rng.uniform(np.log(ratio[0]), np.log(ratio[1])))
+        cw = int(round(np.sqrt(target * ar)))
+        ch = int(round(np.sqrt(target / ar)))
+        if 0 < cw <= w and 0 < ch <= h:
+            x0 = int(rng.integers(0, w - cw + 1))
+            y0 = int(rng.integers(0, h - ch + 1))
+            break
+    else:  # torchvision fallback: center crop at the clamped ratio
+        in_ratio = w / h
+        if in_ratio < ratio[0]:
+            cw, ch = w, int(round(w / ratio[0]))
+        elif in_ratio > ratio[1]:
+            ch, cw = h, int(round(h * ratio[1]))
+        else:
+            cw, ch = w, h
+        x0, y0 = (w - cw) // 2, (h - ch) // 2
+    image = image.resize((size, size), Image.BILINEAR,
+                         box=(x0, y0, x0 + cw, y0 + ch))
+    if rng.random() < hflip_p:
+        image = image.transpose(Image.FLIP_LEFT_RIGHT)
+    arr = np.asarray(image, dtype=np.float32) / 255.0
+    arr = (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    return arr
+
+
 @functools.partial(
     __import__("jax").jit, static_argnames=("size", "antialias")
 )

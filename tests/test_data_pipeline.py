@@ -353,3 +353,81 @@ def test_class_aware_draw_count_differs_from_dataset_size():
     o = sampler_order(300, "class_aware", seed=2, labels=labels)
     counts = np.bincount(o[labels[o] == 1], minlength=100)[90:]
     assert counts.max() - counts.min() <= 1
+
+
+def test_pil_train_transform_semantics(tmp_path):
+    """RandomResizedCrop + flip training transform: torchvision
+    get_params semantics (bounds, scale range, ratio-clamped fallback),
+    deterministic under a seeded rng, stochastic without."""
+    import numpy as np
+    from PIL import Image
+
+    from msclip_tpu.data.transforms import pil_train_transform
+
+    rng_img = np.random.default_rng(0)
+    img = Image.fromarray(
+        (rng_img.random((180, 240, 3)) * 255).astype(np.uint8)
+    )
+    a = pil_train_transform(img, size=64, rng=np.random.default_rng(5))
+    b = pil_train_transform(img, size=64, rng=np.random.default_rng(5))
+    c = pil_train_transform(img, size=64, rng=np.random.default_rng(6))
+    assert a.shape == (64, 64, 3) and a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)  # seeded -> deterministic
+    assert np.abs(a - c).max() > 0  # different seed -> different crop
+    d = pil_train_transform(img, size=64)  # OS entropy path
+    assert d.shape == (64, 64, 3)
+
+    # extreme aspect ratio forces the clamped center-crop fallback with
+    # scale pinned near 1 (no valid box in 10 draws)
+    wide = Image.fromarray(
+        (rng_img.random((10, 400, 3)) * 255).astype(np.uint8)
+    )
+    e = pil_train_transform(wide, size=32, scale=(0.99, 1.0),
+                            rng=np.random.default_rng(1))
+    assert e.shape == (32, 32, 3) and np.isfinite(e).all()
+
+
+def test_train_dataset_uses_random_crop(tmp_path):
+    """make_train_dataset must wire the RandomResizedCrop transform (the
+    aug primitives existed but the train path silently used the
+    deterministic eval transform)."""
+    import numpy as np
+    from PIL import Image
+
+    from msclip_tpu.config import get_default_config
+    from msclip_tpu.data.pairs import make_train_dataset
+
+    rng = np.random.default_rng(1)
+    img_path = tmp_path / "a.jpg"
+    Image.fromarray(
+        (rng.random((120, 160, 3)) * 255).astype(np.uint8)
+    ).save(img_path, quality=95)
+    (tmp_path / "pairs.tsv").write_text(f"{img_path}\ta photo\n")
+
+    cfg = get_default_config()
+    cfg.merge_from_dict({
+        "DATASET": {"TRAIN_TSV_LIST": [str(tmp_path / "pairs.tsv")]},
+        "TRAIN": {"IMAGE_SIZE": [64, 64]},
+        "MODEL": {"SPEC": {"TEXT": {"CONTEXT_LENGTH": 77}}},
+    })
+    ds = make_train_dataset(cfg)
+    assert len(ds) == 1
+    im1, tok1 = ds[0]
+    im2, _ = ds[0]
+    assert im1.shape == (64, 64, 3)
+    assert tok1[0] == 49406
+    # stochastic aug: two reads of the same sample differ
+    assert np.abs(im1 - im2).max() > 0
+
+    # native JPEG branch (when the native lib builds here)
+    from msclip_tpu import native as N
+
+    if N.native_available():
+        import os as _os
+
+        _os.environ["MSCLIP_NATIVE_DECODE"] = "1"
+        try:
+            im3, _ = ds[0]
+            assert im3.shape == (64, 64, 3) and np.isfinite(im3).all()
+        finally:
+            _os.environ.pop("MSCLIP_NATIVE_DECODE")
