@@ -62,6 +62,9 @@ def get_default_config() -> CfgNode:
     c.DATASET.DATA_FORMAT = "jpg"
     c.DATASET.LABELMAP = ""
     c.DATASET.TRAIN_TSV_LIST = []
+    # TPU-repo extension: WebDataset-style tar shards of <key>.jpg +
+    # <key>.txt pairs (paths or globs); takes precedence over TSV lists
+    c.DATASET.TRAIN_SHARD_LIST = []
     c.DATASET.TEST_TSV_LIST = []
     c.DATASET.COCO = CfgNode(open_node=True)
     c.DATASET.COCO.SCALES = ["m", "l"]

@@ -180,6 +180,15 @@ def make_train_dataset(config, tokenizer: Optional[ClipTokenizer] = None):
     tokenizer = tokenizer or ClipTokenizer()
     ctx = config.MODEL.SPEC.TEXT.get("CONTEXT_LENGTH", 77)
     transform = make_train_transform(config)
+    shards = config.DATASET.get("TRAIN_SHARD_LIST", [])
+    if shards:
+        from .shards import TarShardPairDataset, make_shard_train_transform
+
+        return TarShardPairDataset(
+            shards, tokenizer, ctx,
+            transform=make_shard_train_transform(config),
+            image_size=config.TRAIN.IMAGE_SIZE[0],
+        )
     tsvs = config.DATASET.get("TRAIN_TSV_LIST", [])
     if tsvs:
         return TsvPairDataset(tsvs, tokenizer, ctx, transform=transform)
