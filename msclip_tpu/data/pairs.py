@@ -31,21 +31,31 @@ from .transforms import pil_eval_transform
 def _native_train_decode(path: str, size, mean, std, scale, hflip_p):
     """JPEG fast path for training decode: the C++ RandomResizedCrop +
     flip + normalize pipeline (``native.decode_train``), with DCT-scaled
-    decode when ``MSCLIP_DCT_SCALE=1``. Returns None for non-JPEG input
-    or native failure (caller falls back to the PIL transform)."""
+    decode when ``MSCLIP_DCT_SCALE=1``.
+
+    Returns ``(image or None, bytes or None)``: on native failure the
+    already-read bytes come back so the PIL fallback does not re-read
+    the file (at corpus scale a silent double-read doubles input IO).
+    Checks lib availability and the JPEG magic BEFORE touching the
+    file/bytes path decisions."""
     if os.environ.get("MSCLIP_NATIVE_DECODE") != "1":
-        return None
+        return None, None
     from .. import native as N
 
+    if not N.native_available():
+        return None, None
     if not path.lower().endswith((".jpg", ".jpeg")):
-        return None
+        return None, None
     with open(path, "rb") as f:
         data = f.read()
+    if not N.is_jpeg(data):
+        return None, data
     seed = int(np.random.default_rng().integers(1, 2 ** 63))
-    return N.decode_train(
+    img = N.decode_train(
         data, size, mean, std, seed=seed, scale=scale, hflip_p=hflip_p,
         dct_scale=os.environ.get("MSCLIP_DCT_SCALE") == "1",
     )
+    return img, data
 
 
 class TsvPairDataset:
@@ -163,9 +173,15 @@ def make_train_transform(config):
                                std=std, scale=scale, ratio=ratio)
 
     def transform(path):
-        img = _native_train_decode(path, size, mean, std, scale, 0.5)
+        img, data = _native_train_decode(path, size, mean, std, scale, 0.5)
         if img is not None:
             return img
+        if data is not None:  # bytes already read: decode them directly
+            import io
+
+            from PIL import Image
+
+            return pil_fn(Image.open(io.BytesIO(data)))
         from .datasets import _load_image
 
         return pil_fn(_load_image(path))
@@ -179,7 +195,6 @@ def make_train_transform(config):
 def make_train_dataset(config, tokenizer: Optional[ClipTokenizer] = None):
     tokenizer = tokenizer or ClipTokenizer()
     ctx = config.MODEL.SPEC.TEXT.get("CONTEXT_LENGTH", 77)
-    transform = make_train_transform(config)
     shards = config.DATASET.get("TRAIN_SHARD_LIST", [])
     if shards:
         from .shards import TarShardPairDataset, make_shard_train_transform
@@ -187,8 +202,8 @@ def make_train_dataset(config, tokenizer: Optional[ClipTokenizer] = None):
         return TarShardPairDataset(
             shards, tokenizer, ctx,
             transform=make_shard_train_transform(config),
-            image_size=config.TRAIN.IMAGE_SIZE[0],
         )
+    transform = make_train_transform(config)
     tsvs = config.DATASET.get("TRAIN_TSV_LIST", [])
     if tsvs:
         return TsvPairDataset(tsvs, tokenizer, ctx, transform=transform)

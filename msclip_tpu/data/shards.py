@@ -61,13 +61,11 @@ def _index_shard(path: str):
                 txts[key] = (m.offset_data, m.size)
     keys = sorted(k for k in imgs if k in txts)
     rec = np.zeros((len(keys), 4), np.int64)
-    exts = []
     for i, k in enumerate(keys):
-        io_, is_, ext = imgs[k]
+        io_, is_, _ = imgs[k]
         to_, ts_ = txts[k]
         rec[i] = (io_, is_, to_, ts_)
-        exts.append(ext)
-    return rec, np.asarray(exts)
+    return rec
 
 
 def _cached_index(path: str):
@@ -78,24 +76,22 @@ def _cached_index(path: str):
             z = np.load(cache, allow_pickle=False)
             if (int(z["mtime"]) == int(st.st_mtime)
                     and int(z["size"]) == st.st_size):
-                return z["rec"], z["exts"]
+                return z["rec"]
         except Exception:
             pass  # corrupt/stale cache: rebuild
-    rec, exts = _index_shard(path)
+    rec = _index_shard(path)
     try:
-        np.savez(cache, rec=rec, exts=exts,
-                 mtime=int(st.st_mtime), size=st.st_size)
+        np.savez(cache, rec=rec, mtime=int(st.st_mtime), size=st.st_size)
     except OSError:
         pass  # read-only data dir: index stays in memory
-    return rec, exts
+    return rec
 
 
 class TarShardPairDataset:
     """Image-text pairs from WebDataset-style tar shards."""
 
     def __init__(self, shard_paths: List[str], tokenizer: ClipTokenizer,
-                 context_length: int = 77, transform=None,
-                 image_size: int = 224):
+                 context_length: int = 77, transform=None):
         paths = []
         for p in shard_paths:
             expanded = sorted(_glob.glob(p)) if any(
@@ -111,17 +107,14 @@ class TarShardPairDataset:
 
             transform = pil_eval_transform
         self.transform = transform
-        self.image_size = image_size
         # concatenated per-shard indices + sample -> shard mapping
-        recs, exts, shard_ids, starts = [], [], [], [0]
+        recs, shard_ids, starts = [], [], [0]
         for si, p in enumerate(paths):
-            rec, ext = _cached_index(p)
+            rec = _cached_index(p)
             recs.append(rec)
-            exts.append(ext)
             shard_ids.append(np.full(len(rec), si, np.int32))
             starts.append(starts[-1] + len(rec))
         self.rec = np.concatenate(recs) if recs else np.zeros((0, 4))
-        self.exts = np.concatenate(exts)
         self.shard_of = np.concatenate(shard_ids)
         self.chunk_starts = starts[:-1]  # shard boundaries (chunk sampler)
         self._fds = {}
