@@ -139,6 +139,20 @@ class BatchLoader:
         rank, world = self.shard
         return order[rank::world] if world > 1 else order
 
+    @property
+    def num_batches(self) -> int:
+        """Per-epoch batch count, computed arithmetically — unlike
+        ``len()``, this does NOT run the full sampler draw (O(n) host
+        work at corpus scale), so resume bookkeeping can use it freely.
+        Matches ``len()`` for every sampler (they all emit one index per
+        dataset element before striping)."""
+        n = len(self.dataset)
+        rank, world = self.shard
+        stripe = len(range(rank, n, world)) if world > 1 else n
+        if self.drop_last:
+            return stripe // self.batch_size
+        return (stripe + self.batch_size - 1) // self.batch_size
+
     def __len__(self):
         n = len(self._order())
         if self.drop_last:

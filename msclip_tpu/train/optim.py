@@ -123,6 +123,36 @@ def timm_cosine_schedule(base_lr: float, steps_per_epoch: int, epochs: int,
     )
 
 
+def swa_anneal_wrap(base_sched, config, steps_per_epoch: int):
+    """``SWA.LR_RATIO`` / ``ANNEAL_EPOCHS`` / ``ANNEAL_STRATEGY``
+    (``lib/config/default.py:113-115``) with torch ``SWALR`` semantics:
+    once SWA begins (``SWA.BEGIN_EPOCH``), anneal from the base schedule's
+    value at that point to ``swa_lr = TRAIN.LR * LR_RATIO`` over
+    ``ANNEAL_EPOCHS`` ('cos' or 'linear'), then hold. Group LR scales
+    (the shared-trunk group) multiply on top, so each group anneals to
+    its own ``lr * RATIO`` — torch's per-group behaviour."""
+    if not (config.SWA.ENABLED and config.SWA.BEGIN_EPOCH >= 0):
+        return base_sched
+    begin = config.SWA.BEGIN_EPOCH * steps_per_epoch
+    anneal = max(config.SWA.ANNEAL_EPOCHS * steps_per_epoch, 1)
+    ratio = config.SWA.LR_RATIO
+    strategy = config.SWA.ANNEAL_STRATEGY
+    if strategy not in ("cos", "linear"):
+        raise ValueError(f"Unknown SWA.ANNEAL_STRATEGY: {strategy}")
+    swa_lr = config.TRAIN.LR * ratio
+
+    def sched(step):
+        lr0 = base_sched(begin)  # frozen at SWA start (torch stops the
+        # base scheduler once SWALR takes over)
+        t = jnp.clip((step - begin) / anneal, 0.0, 1.0)
+        alpha = (1.0 - jnp.cos(jnp.pi * t)) / 2.0 if strategy == "cos" \
+            else t
+        annealed = (1.0 - alpha) * lr0 + alpha * swa_lr
+        return jnp.where(step < begin, base_sched(step), annealed)
+
+    return sched
+
+
 def build_schedule(config, steps_per_epoch: int):
     sched_cfg = config.TRAIN.LR_SCHEDULER
     method = sched_cfg.get("METHOD", "timm")
@@ -183,7 +213,9 @@ def build_optimizer(config, params, spec, steps_per_epoch: int):
     labels = param_labels(params, spec)
     mask = wd_mask(params, without_wd)
 
-    base_sched = build_schedule(config, steps_per_epoch)
+    base_sched = swa_anneal_wrap(
+        build_schedule(config, steps_per_epoch), config, steps_per_epoch
+    )
     lr_share = config.CUSTOM.get("LR_SHARE", 0.0) or config.TRAIN.LR
     share_scale = lr_share / max(config.TRAIN.LR, 1e-12)
     share_sched = lambda step: base_sched(step) * share_scale

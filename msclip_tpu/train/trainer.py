@@ -72,15 +72,18 @@ def _copy_containers(tree):
 
 
 def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096,
-                 label_smoothing=0.0, ring_loss=False):
+                 label_smoothing=0.0, ring_loss=False,
+                 freeze_bn: bool = False):
     """loss_fn(params, images, tokens, rng) -> (loss, bn_updates).
 
     ``rng`` drives the stochastic training-time paths: DropPath in the
     image tower and the Gumbel NAS action when GUMBEL_SELECT.
+    ``freeze_bn`` (``SWA.FROZEN_BN``): run BatchNorm in eval mode — fold
+    the running stats, record no updates.
     """
 
     def encode(params, images, tokens, rng):
-        bn = BNState(training=True)
+        bn = BNState(training=not freeze_bn)
         action = None
         if spec.ext.gumbel_select:
             action_rng = None if rng is None else jax.random.fold_in(rng, 1)
@@ -137,14 +140,15 @@ def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096,
 def make_step_core(spec, tx, mesh=None, sharded_loss=False,
                    loss_chunk=4096, ema_decay: float = 0.0,
                    label_smoothing: float = 0.0, seed: int = 0,
-                   ring_loss: bool = False):
+                   ring_loss: bool = False, freeze_bn: bool = False):
     """The raw (un-jitted) train step: value_and_grad + optimizer + BN
     replay + EMA. Exposed separately so harnesses (bench.py,
     experiments/profile_train.py) can chain K steps inside one jit/scan —
     over a remote tunnel the per-dispatch RTT would otherwise swamp the
     measurement."""
     loss_fn = make_loss_fn(spec, mesh, sharded_loss, loss_chunk,
-                           label_smoothing, ring_loss=ring_loss)
+                           label_smoothing, ring_loss=ring_loss,
+                           freeze_bn=freeze_bn)
     needs_rng = spec.vision_drop_path > 0.0 or spec.ext.gumbel_select
 
     def step_fn(state: TrainState, images, tokens):
@@ -176,7 +180,7 @@ def make_train_step(spec, tx, mesh=None, sharded_loss=False,
                     loss_chunk=4096, ema_decay: float = 0.0,
                     donate: bool = True, label_smoothing: float = 0.0,
                     seed: int = 0, opt_shardings=None,
-                    ring_loss: bool = False):
+                    ring_loss: bool = False, freeze_bn: bool = False):
     """Build the jit-compiled train step.
 
     step(state, images, tokens) -> (state, metrics). The step derives a
@@ -194,6 +198,7 @@ def make_train_step(spec, tx, mesh=None, sharded_loss=False,
         spec, tx, mesh=mesh, sharded_loss=sharded_loss,
         loss_chunk=loss_chunk, ema_decay=ema_decay,
         label_smoothing=label_smoothing, seed=seed, ring_loss=ring_loss,
+        freeze_bn=freeze_bn,
     )
 
     if mesh is None:
@@ -265,5 +270,8 @@ def init_train_state(model, tx, key=None, ema_decay: float = 0.0,
     if params is None:
         params = model.init(key if key is not None else jax.random.PRNGKey(0))
     opt_state = tx.init(params)
-    ema = jax.tree.map(lambda x: x, params) if ema_decay > 0 else None
+    # jnp.copy, not identity: EMA shadows must be DISTINCT buffers.
+    # Aliased leaves + donate=True would donate the same buffer twice
+    # (Execute() INVALID_ARGUMENT on the first step).
+    ema = jax.tree.map(jnp.copy, params) if ema_decay > 0 else None
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state, ema)

@@ -24,13 +24,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OPTS = [
     "DATASET.DATASET", "synthetic", "DATASET.NUM_SAMPLES", "64",
     "TRAIN.END_EPOCH", "1", "TRAIN.BATCH_SIZE_PER_GPU", "2",
-    "TRAIN.SAVE_EVERY_STEPS", "5", "PRINT_FREQ", "1",
+    "TRAIN.SAVE_EVERY_STEPS", "8", "PRINT_FREQ", "1",
     "TRAIN.IMAGE_SIZE", "[64,64]", "TEST.IMAGE_SIZE", "[64,64]",
     "MODEL.SPEC.VISION.WIDTH", "128", "MODEL.SPEC.VISION.LAYERS", "2",
     "MODEL.SPEC.VISION.PATCH_SIZE", "32",
     "MODEL.SPEC.TEXT.WIDTH", "128", "MODEL.SPEC.TEXT.HEADS", "2",
     "MODEL.SPEC.TEXT.LAYERS", "2", "MODEL.SPEC.EMBED_DIM", "32",
-    "WORKERS", "2", "TPU.PLATFORM", "cpu",
+    "WORKERS", "2",
 ]
 # NOTE: jax.device_count() on the forced-CPU platform is 1 in the child
 # (no XLA_FLAGS), so global batch = 2 -> 32 steps/epoch.
@@ -47,6 +47,15 @@ def _cmd(out_dir):
 def test_kill_and_resume(tmp_path):
     out_dir = tmp_path / "run"
     env = dict(os.environ)
+    # force the child onto CPU (tools read MSCLIP_PLATFORM; a config opt
+    # cannot do it — the platform must be set before jax initializes),
+    # and strip conftest's 8-device virtual-mesh flag: the child must see
+    # ONE device so global batch 2 -> 32 steps/epoch as asserted below
+    env["MSCLIP_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
 
     # ---- run 1: kill after step 12 has been logged ----
     p = subprocess.Popen(
@@ -56,11 +65,11 @@ def test_kill_and_resume(tmp_path):
     deadline = time.time() + 900
     killed = False
     for line in p.stdout:
-        if "Step[12/" in line:
+        if "Step[20/" in line:
             p.send_signal(signal.SIGKILL)
             killed = True
             break
-        assert time.time() < deadline, "run 1 never reached step 12"
+        assert time.time() < deadline, "run 1 never reached step 20"
     assert killed
     p.wait(timeout=60)
 
@@ -74,10 +83,13 @@ def test_kill_and_resume(tmp_path):
     m = re.search(r"auto-resumed from step (\d+)", log)
     assert m, log[-3000:]
     resumed = int(m.group(1))
-    # the last FINALIZED mid-epoch checkpoint: a multiple of 5, at or
-    # before the kill point (an in-flight save at kill time must have
-    # been discarded, not half-restored)
-    assert resumed in (5, 10), resumed
+    # the last FINALIZED mid-epoch checkpoint: a multiple of 8, at or
+    # before the kill point (saves are async — a save still in flight at
+    # kill time must be discarded, not half-restored; killing at step 20
+    # leaves the step-8 save ~12 steps to finalize). 8 divides 32
+    # deliberately: the mid-loop save must SKIP the epoch-boundary step
+    # 32 so the epoch-end metadata owns it (see tools/train.py).
+    assert resumed in (8, 16), resumed
     m = re.search(r"skipping (\d+) already-seen batches", log)
     assert m, log[-3000:]
     assert int(m.group(1)) == resumed % TOTAL_STEPS

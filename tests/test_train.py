@@ -264,3 +264,141 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
+
+
+def test_swa_anneal_schedule():
+    """SWA.LR_RATIO/ANNEAL_EPOCHS/ANNEAL_STRATEGY (torch SWALR semantics:
+    anneal from the LR at SWA start to LR*RATIO over ANNEAL_EPOCHS, then
+    hold)."""
+    from msclip_tpu.train.optim import swa_anneal_wrap
+
+    cfg = _cfg()
+    cfg.SWA.ENABLED = True
+    cfg.SWA.BEGIN_EPOCH = 2
+    cfg.SWA.ANNEAL_EPOCHS = 2
+    cfg.SWA.LR_RATIO = 0.5
+    base = lambda s: jnp.asarray(1e-3)  # noqa: E731
+
+    sched = swa_anneal_wrap(base, cfg, steps_per_epoch=10)
+    np.testing.assert_allclose(float(sched(5)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(20)), 1e-3, rtol=1e-6)
+    # cos midpoint: alpha=(1-cos(pi/2))/2 = 0.5 -> halfway to swa_lr
+    np.testing.assert_allclose(float(sched(30)), 0.75e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(40)), 0.5e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 0.5e-3, rtol=1e-6)
+
+    cfg.SWA.ANNEAL_STRATEGY = "linear"
+    sched = swa_anneal_wrap(base, cfg, steps_per_epoch=10)
+    np.testing.assert_allclose(float(sched(25)), 0.875e-3, rtol=1e-6)
+
+    cfg.SWA.ENABLED = False
+    assert swa_anneal_wrap(base, cfg, 10) is base
+
+
+def test_frozen_bn_train_step():
+    """SWA.FROZEN_BN: a freeze_bn step must use (and not touch) the BN
+    running stats; the default step updates them."""
+    spec = tiny_msclips_spec()
+    model = MSClipModel(spec)
+    cfg = _cfg()
+    params = model.init(jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=10)
+    images, tokens = _batch(spec)
+
+    def bn_stats(p):
+        return (np.asarray(p["visual"]["stem"]["bn1"]["mean"]),
+                np.asarray(p["visual"]["stem"]["bn1"]["var"]))
+
+    state = init_train_state(model, tx, params=params)
+    m0, v0 = bn_stats(state.params)
+    frozen = make_train_step(spec, tx, freeze_bn=True, donate=False)
+    s1, _ = frozen(state, images, tokens)
+    m1, v1 = bn_stats(s1.params)
+    np.testing.assert_array_equal(m0, m1)
+    np.testing.assert_array_equal(v0, v1)
+
+    s2, _ = make_train_step(spec, tx, donate=False)(state, images, tokens)
+    m2, v2 = bn_stats(s2.params)
+    assert not np.array_equal(m0, m2) and not np.array_equal(v0, v2)
+
+
+def test_checkpoint_force_replace_and_shadows(tmp_path):
+    """force=True must REPLACE an existing step (orbax's own force flag
+    raises StepAlreadyExistsError), and shadow trees (ema/swa) round-trip
+    with their own templates."""
+    from msclip_tpu.train import CheckpointManager, auto_resume
+
+    spec = tiny_spec()
+    model = MSClipModel(spec)
+    cfg = _cfg()
+    params = model.init(jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=10)
+    state = init_train_state(model, tx, params=params)
+    ema = jax.tree.map(lambda x: x + 1.0, params)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(7, state.params, state.opt_state, extra={"epoch": 3})
+    mgr.wait()
+    # same step again, new metadata + shadows: must replace, not raise
+    mgr.save(7, state.params, state.opt_state,
+             extra={"epoch": 4, "swa_n": 2}, force=True,
+             shadows={"ema": ema, "swa": params})
+    mgr.wait()
+
+    p, o, step, extra = auto_resume(
+        mgr, state.params, state.opt_state,
+        shadow_templates={"ema": params, "swa": params},
+    )
+    assert step == 7 and extra["epoch"] == 4 and extra["swa_n"] == 2
+    got_ema = extra["shadows"]["ema"]
+    for a, b in zip(jax.tree.leaves(got_ema), jax.tree.leaves(ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_ema_step_with_donation():
+    """EMA shadows must be distinct buffers: init aliased them to params,
+    and the donated step then donated the same buffer twice
+    (Execute() INVALID_ARGUMENT on the very first step). Regression:
+    run two donated steps with ema_decay>0 and check the EMA tracks."""
+    spec = tiny_spec()
+    model = MSClipModel(spec)
+    cfg = _cfg()
+    params = model.init(jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=10)
+    state = init_train_state(model, tx, params=params, ema_decay=0.9)
+    images, tokens = _batch(spec)
+
+    step = make_train_step(spec, tx, ema_decay=0.9)  # donate=True default
+    state, _ = step(state, images, tokens)
+    state, _ = step(state, images, tokens)
+    p_leaves = jax.tree.leaves(state.params)
+    e_leaves = jax.tree.leaves(state.ema_params)
+    assert any(
+        not np.array_equal(np.asarray(p), np.asarray(e))
+        for p, e in zip(p_leaves, e_leaves)
+    )
+    # all leaves finite (the donated buffers were not clobbered)
+    for e in e_leaves:
+        assert np.isfinite(np.asarray(e)).all()
+
+
+def test_loader_num_batches_matches_len():
+    """num_batches (arithmetic) == len() (full sampler draw) across
+    shard/drop_last combinations — resume bookkeeping relies on it."""
+    from msclip_tpu.data.loader import BatchLoader
+
+    class DS:
+        def __len__(self):
+            return 29
+
+        def __getitem__(self, i):
+            return np.zeros((2, 2, 3), np.float32), i
+
+    for world in (1, 2, 3):
+        for rank in range(world):
+            for drop in (False, True):
+                loader = BatchLoader(DS(), 4, shard=(rank, world),
+                                     drop_last=drop)
+                assert loader.num_batches == len(loader), (
+                    world, rank, drop)

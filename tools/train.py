@@ -85,62 +85,98 @@ def main():
     ckpt_mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"))
     begin_epoch = config.TRAIN.BEGIN_EPOCH
     resume_skip = 0
+    swa_params, swa_n = None, jnp.asarray(0)
+    # the loader's per-epoch batch count, computed arithmetically —
+    # len(loader) would rerun the full O(n) sampler draw at corpus scale
+    n_batches = max(loader.num_batches, 1)
     if config.TRAIN.AUTO_RESUME:
-        p, o, step, extra = auto_resume(ckpt_mgr, state.params,
-                                        state.opt_state)
+        p, o, step, extra = auto_resume(
+            ckpt_mgr, state.params, state.opt_state,
+            shadow_templates={"ema": state.ema_params,
+                              "swa": state.params},
+        )
         if step:
             state = state._replace(
                 params=p, opt_state=o, step=jnp.asarray(step, jnp.int32)
             )
             begin_epoch = extra.get("epoch", begin_epoch)
+            # restore the EMA/SWA shadows too — leaving them at their
+            # init values would silently anchor the EMA to random
+            # weights and discard prior SWA accumulation
+            shadows = extra.get("shadows", {})
+            if state.ema_params is not None and "ema" in shadows:
+                state = state._replace(ema_params=shadows["ema"])
+            if "swa" in shadows:
+                swa_params = shadows["swa"]
+                swa_n = jnp.asarray(int(extra.get("swa_n", 0)))
             # Mid-epoch resume: fast-forward past the batches the restored
             # step already consumed so the data position matches the
             # step/LR schedule instead of replaying the epoch from batch 0.
-            # Derive the modulus from the loader's ACTUAL per-epoch batch
-            # count — the config estimate len(dataset)//global_batch can
-            # differ under striped multi-process sharding, and a mismatch
-            # would silently skip real batches.
-            resume_skip = int(step) % max(len(loader), 1)
+            resume_skip = int(step) % n_batches
             if resume_skip:
                 logging.info(
                     f"=> resume fast-forward: skipping {resume_skip} "
                     f"already-seen batches of epoch {begin_epoch}"
                 )
 
-    step_fn = make_train_step(
-        spec, tx, mesh=mesh,
-        sharded_loss=config.TPU.SHARDED_LOSS,
-        loss_chunk=config.TPU.LOSS_CHUNK,
-        ring_loss=config.TPU.RING_LOSS,
-        ema_decay=config.TRAIN.EMA_DECAY,
-        label_smoothing=config.LOSS.LABEL_SMOOTHING,
-        seed=config.TPU.SEED,
-        opt_shardings=opt_shardings,
-    )
+    def _make_step(freeze_bn=False):
+        return make_train_step(
+            spec, tx, mesh=mesh,
+            sharded_loss=config.TPU.SHARDED_LOSS,
+            loss_chunk=config.TPU.LOSS_CHUNK,
+            ring_loss=config.TPU.RING_LOSS,
+            ema_decay=config.TRAIN.EMA_DECAY,
+            label_smoothing=config.LOSS.LABEL_SMOOTHING,
+            seed=config.TPU.SEED,
+            opt_shardings=opt_shardings,
+            freeze_bn=freeze_bn,
+        )
+
+    step_fn = _make_step()
+    frozen_step_fn = None
 
     logging.info(
         f"=> training: {steps_per_epoch} steps/epoch x "
         f"{config.TRAIN.END_EPOCH} epochs, global batch {global_batch}"
     )
-    swa_params, swa_n = None, jnp.asarray(0)
+    save_every = config.TRAIN.SAVE_EVERY_STEPS
+    global_step = int(state.step)  # host-side mirror: no device sync/step
     for epoch in range(begin_epoch, config.TRAIN.END_EPOCH):
         loader.set_epoch(epoch)  # fresh shuffle/sampler draws per epoch
         if resume_skip and epoch == begin_epoch:
             loader.fast_forward(resume_skip)
+        epoch_step_fn = step_fn
+        if config.SWA.FROZEN_BN and swa_should_update(epoch, config):
+            # SWA.FROZEN_BN (lib/config/default.py:116): once averaging
+            # starts, BatchNorm runs in eval mode — fold running stats,
+            # stop updating them (compiled once, lazily)
+            if frozen_step_fn is None:
+                frozen_step_fn = _make_step(freeze_bn=True)
+            epoch_step_fn = frozen_step_fn
         t0 = time.time()
         seen = 0
-        save_every = config.TRAIN.SAVE_EVERY_STEPS
         for i, batch in enumerate(loader):
-            state, metrics = step_fn(
-                state, jnp.asarray(batch["image"]),
-                jnp.asarray(batch["tokens"]),
-            )
+            # raw numpy straight into the step — the mesh wrapper commits
+            # it (device_put / host_local assembly); a jnp.asarray here
+            # would add a redundant host->device->host->device round trip
+            # on the multi-process path
+            state, metrics = epoch_step_fn(state, batch["image"],
+                                           batch["tokens"])
+            global_step += 1
             seen += batch["image"].shape[0]
-            if save_every and int(state.step) % save_every == 0:
+            if (save_every and global_step % save_every == 0
+                    and global_step % n_batches != 0):
                 # mid-epoch checkpoint: epoch NOT advanced (resume
-                # re-enters this epoch and fast-forwards the loader)
-                ckpt_mgr.save(int(state.step), state.params,
-                              state.opt_state, extra={"epoch": epoch})
+                # re-enters this epoch and fast-forwards the loader).
+                # Skipped when it coincides with the epoch's last step:
+                # the epoch-end save must own that step so a kill in
+                # between cannot leave epoch-E metadata at an
+                # epoch-boundary step (which would replay the epoch).
+                ckpt_mgr.save(global_step, state.params, state.opt_state,
+                              extra={"epoch": epoch,
+                                     "swa_n": int(swa_n)},
+                              shadows={"ema": state.ema_params,
+                                       "swa": swa_params})
             if (i + 1) % config.PRINT_FREQ == 0:
                 loss = float(metrics["loss"])
                 ips = seen / (time.time() - t0)
@@ -150,13 +186,20 @@ def main():
                 )
         if swa_should_update(epoch, config):
             if swa_params is None:
-                swa_params = jax.tree.map(lambda x: x, state.params)
+                # first snapshot counts as one averaged model (torch
+                # AveragedModel semantics: n=0 means "replace on next
+                # update" — leaving n at 0 here would discard this epoch).
+                # jnp.copy: the snapshot must not alias state.params —
+                # the next donated step would invalidate shared buffers.
+                swa_params = jax.tree.map(jnp.copy, state.params)
+                swa_n = jnp.asarray(1)
             else:
                 swa_params, swa_n = swa_update(swa_params, state.params,
                                                swa_n)
-        ckpt_mgr.save(int(state.step), state.params, state.opt_state,
-                      extra={"epoch": epoch + 1},
-                      force=bool(save_every))  # may overwrite a step save
+        ckpt_mgr.save(global_step, state.params, state.opt_state,
+                      extra={"epoch": epoch + 1, "swa_n": int(swa_n)},
+                      shadows={"ema": state.ema_params,
+                               "swa": swa_params})
         if state.ema_params is not None or swa_params is not None:
             # EMA/SWA shadows: the reference's ema_shadow_states /
             # swa_states checkpoint fields (lib/utils/utils.py:157-201)
