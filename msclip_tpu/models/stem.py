@@ -22,7 +22,7 @@ parameter path.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +50,9 @@ class BNState:
     axis_name: Optional[str] = None
     updates: dict = field(default_factory=dict)
     layout: str = "NHWC"
+    # running-stat blend factor; may be a traced scalar (the SWA BN
+    # refresh sweeps it as 1/(k+1) per batch without recompiling)
+    momentum: Any = 0.1
 
     def __call__(self, p, x, path: str, eps: float = 1e-5, layout=None):
         layout = layout or self.layout
@@ -57,7 +60,7 @@ class BNState:
             return batch_norm(p, x, eps=eps, training=False, layout=layout)
         y, new_stats = batch_norm(
             p, x, eps=eps, training=True, axis_name=self.axis_name,
-            layout=layout,
+            layout=layout, momentum=self.momentum,
         )
         self.updates[path] = new_stats
         return y

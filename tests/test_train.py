@@ -356,6 +356,58 @@ def test_checkpoint_force_replace_and_shadows(tmp_path):
     mgr.close()
 
 
+def test_swa_refresh_bn():
+    """torch update_bn semantics: the refreshed running stats are the
+    cumulative average of per-batch statistics — batch 0 fully replaces
+    the stale stats (two different initial stat sets converge), and two
+    passes over identical data give identical results."""
+    from msclip_tpu.train.averaging import swa_refresh_bn
+
+    spec = tiny_msclips_spec()
+    model = MSClipModel(spec)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batches = [
+        rng.standard_normal(
+            (4, spec.image_resolution, spec.image_resolution, 3)
+        ).astype(np.float32)
+        for _ in range(3)
+    ]
+
+    def stats(p):
+        return (np.asarray(p["visual"]["stem"]["bn1"]["mean"]),
+                np.asarray(p["visual"]["stem"]["bn1"]["var"]))
+
+    refreshed = swa_refresh_bn(params, spec, batches)
+    m1, v1 = stats(refreshed)
+    assert not np.array_equal(m1, stats(params)[0])
+
+    # batch 0 replaces: corrupt the initial stats -> same result
+    corrupted = jax.tree.map(lambda x: x, params)
+    corrupted["visual"] = dict(corrupted["visual"])
+    corrupted["visual"]["stem"] = dict(corrupted["visual"]["stem"])
+    corrupted["visual"]["stem"]["bn1"] = {
+        **corrupted["visual"]["stem"]["bn1"],
+        "mean": params["visual"]["stem"]["bn1"]["mean"] + 100.0,
+        "var": params["visual"]["stem"]["bn1"]["var"] * 50.0,
+    }
+    m2, v2 = stats(swa_refresh_bn(corrupted, spec, batches))
+    np.testing.assert_allclose(m1, m2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
+
+    # CMA: three identical batches == one batch
+    same = [batches[0]] * 3
+    m3, _ = stats(swa_refresh_bn(params, spec, same))
+    m4, _ = stats(swa_refresh_bn(params, spec, [batches[0]]))
+    np.testing.assert_allclose(m3, m4, rtol=1e-5, atol=1e-6)
+
+    # BN-free spec: no-op (and no forward passes)
+    plain = tiny_spec()
+    pp = MSClipModel(plain).init(jax.random.PRNGKey(0))
+    out = swa_refresh_bn(pp, plain, batches)
+    assert out is pp
+
+
 def test_ema_step_with_donation():
     """EMA shadows must be distinct buffers: init aliased them to params,
     and the donated step then donated the same buffer twice

@@ -212,6 +212,20 @@ def main():
                 save_params(os.path.join(out_dir, "checkpoints", "swa"),
                             swa_params)
         logging.info(f"=> epoch {epoch} done in {time.time() - t0:.1f}s")
+    if swa_params is not None and not config.SWA.FROZEN_BN:
+        # torch update_bn semantics: the averaged weights' BN running
+        # stats are stale (they belong to the LAST model, not the
+        # average) — recompute them as the cumulative average over one
+        # pass of the training data, then overwrite the exported shadow
+        from msclip_tpu.train import save_params
+        from msclip_tpu.train.averaging import swa_refresh_bn
+
+        logging.info("=> SWA: refreshing BN statistics over one epoch")
+        swa_params = swa_refresh_bn(
+            swa_params, spec, (b["image"] for b in loader)
+        )
+        save_params(os.path.join(out_dir, "checkpoints", "swa"),
+                    swa_params)
     ckpt_mgr.wait()
     ckpt_mgr.close()
     logging.info("=> training complete")
