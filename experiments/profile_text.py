@@ -76,8 +76,9 @@ def main():
     spec = spec_from_config(cfg)
     model = MSClipModel(spec)
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    K = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    B = int(pos[0]) if len(pos) > 0 else 256
+    K = int(pos[1]) if len(pos) > 1 else 16
     grad = "--grad" in sys.argv
 
     params = model.init(jax.random.PRNGKey(0))

@@ -141,11 +141,10 @@ class BatchLoader:
 
     @property
     def num_batches(self) -> int:
-        """Per-epoch batch count, computed arithmetically — unlike
-        ``len()``, this does NOT run the full sampler draw (O(n) host
-        work at corpus scale), so resume bookkeeping can use it freely.
-        Matches ``len()`` for every sampler (they all emit one index per
-        dataset element before striping)."""
+        """Per-epoch batch count, computed arithmetically — no sampler
+        draw (O(n) host work at corpus scale), so resume bookkeeping can
+        use it freely. Correct for every sampler (they all emit one index
+        per dataset element before striping; asserted in tests)."""
         n = len(self.dataset)
         rank, world = self.shard
         stripe = len(range(rank, n, world)) if world > 1 else n
@@ -154,10 +153,7 @@ class BatchLoader:
         return (stripe + self.batch_size - 1) // self.batch_size
 
     def __len__(self):
-        n = len(self._order())
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        return self.num_batches
 
     def __iter__(self) -> Iterator[dict]:
         order = self._order()

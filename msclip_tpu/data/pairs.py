@@ -179,8 +179,12 @@ def make_train_transform(config):
         if data is not None:  # bytes already read: decode them directly
             import io
 
-            from PIL import Image
+            from PIL import Image, ImageFile
 
+            # same tolerance as datasets._load_image — a truncated JPEG
+            # (native decode rejects it, hence this fallback) must not
+            # kill the run at corpus scale
+            ImageFile.LOAD_TRUNCATED_IMAGES = True
             return pil_fn(Image.open(io.BytesIO(data)))
         from .datasets import _load_image
 

@@ -73,6 +73,10 @@ def swa_refresh_bn(params, spec, batches):
     view of the data). Only the image tower runs — text has no BN. Returns
     params with refreshed ``mean``/``var`` leaves (unchanged params, and
     no forward passes, for BN-free specs).
+
+    Single-process only: the step consumes host-local batches and blends
+    stripe-local statistics (no cross-replica psum) — under multi-process
+    training the driver skips it (use ``SWA.FROZEN_BN`` at scale).
     """
     if not _has_batch_norm(params):
         return params

@@ -46,7 +46,10 @@ class CheckpointManager:
         (``{"ema": tree, "swa": tree}``) so preemption resume can
         restore the EMA/SWA state instead of re-anchoring it to the
         current weights."""
-        if force and step in (self.mgr.all_steps() or []):
+        if force:
+            # wait FIRST: an async save at this step still in flight is
+            # not yet in all_steps(), but orbax's save() would wait for
+            # it internally and then raise StepAlreadyExistsError
             self.mgr.wait_until_finished()
             if step in (self.mgr.all_steps() or []):
                 self.mgr.delete(step)
@@ -82,8 +85,11 @@ class CheckpointManager:
                 k for k in ("ema", "swa") if getattr(meta, k, None)
                 is not None
             )
-        except Exception:
-            pass
+        except Exception as e:  # orbax API drift / transient FS error
+            logging.warning(
+                f"=> checkpoint item metadata unavailable at step {step} "
+                f"({e!r}); EMA/SWA shadows will NOT be restored"
+            )
         for name, template in (shadow_templates or {}).items():
             if template is not None and name in saved_items:
                 items[name] = ocp.args.StandardRestore(template)

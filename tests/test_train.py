@@ -338,8 +338,10 @@ def test_checkpoint_force_replace_and_shadows(tmp_path):
 
     mgr = CheckpointManager(str(tmp_path / "ckpt"))
     mgr.save(7, state.params, state.opt_state, extra={"epoch": 3})
-    mgr.wait()
-    # same step again, new metadata + shadows: must replace, not raise
+    # same step again, new metadata + shadows, WITHOUT waiting: the
+    # first save may still be in flight (not yet in all_steps()), and
+    # force=True must wait + replace rather than raise
+    # StepAlreadyExistsError
     mgr.save(7, state.params, state.opt_state,
              extra={"epoch": 4, "swa_n": 2}, force=True,
              shadows={"ema": ema, "swa": params})
@@ -436,21 +438,28 @@ def test_ema_step_with_donation():
 
 
 def test_loader_num_batches_matches_len():
-    """num_batches (arithmetic) == len() (full sampler draw) across
-    shard/drop_last combinations — resume bookkeeping relies on it."""
+    """num_batches (arithmetic, no sampler draw) == the number of batches
+    the loader actually yields, across sampler/shard/drop_last combos —
+    resume bookkeeping and __len__ rely on it."""
     from msclip_tpu.data.loader import BatchLoader
 
     class DS:
+        # (path, label) pairs: class_aware reads labels via .samples
+        samples = [(f"img{i}", i % 5) for i in range(29)]
+
         def __len__(self):
             return 29
 
         def __getitem__(self, i):
             return np.zeros((2, 2, 3), np.float32), i
 
-    for world in (1, 2, 3):
-        for rank in range(world):
-            for drop in (False, True):
-                loader = BatchLoader(DS(), 4, shard=(rank, world),
-                                     drop_last=drop)
-                assert loader.num_batches == len(loader), (
-                    world, rank, drop)
+    for sampler in ("default", "class_aware", "chunk"):
+        for world in (1, 2, 3):
+            for rank in range(world):
+                for drop in (False, True):
+                    loader = BatchLoader(DS(), 4, shard=(rank, world),
+                                         drop_last=drop, sampler=sampler,
+                                         workers=0)
+                    yielded = sum(1 for _ in loader)
+                    assert loader.num_batches == yielded, (
+                        sampler, world, rank, drop)

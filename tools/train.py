@@ -104,8 +104,20 @@ def main():
             # init values would silently anchor the EMA to random
             # weights and discard prior SWA accumulation
             shadows = extra.get("shadows", {})
-            if state.ema_params is not None and "ema" in shadows:
-                state = state._replace(ema_params=shadows["ema"])
+            if state.ema_params is not None:
+                if "ema" in shadows:
+                    state = state._replace(ema_params=shadows["ema"])
+                else:
+                    # checkpoint carries no shadow (written pre-shadow or
+                    # metadata was unreadable): re-anchor to the RESTORED
+                    # weights — the pre-resume shadow is a copy of the
+                    # random init and would dominate the EMA for
+                    # thousands of steps
+                    logging.info("=> no EMA shadow in checkpoint; "
+                                 "re-anchoring EMA to restored weights")
+                    state = state._replace(
+                        ema_params=jax.tree.map(jnp.copy, state.params)
+                    )
             if "swa" in shadows:
                 swa_params = shadows["swa"]
                 swa_n = jnp.asarray(int(extra.get("swa_n", 0)))
@@ -213,19 +225,29 @@ def main():
                             swa_params)
         logging.info(f"=> epoch {epoch} done in {time.time() - t0:.1f}s")
     if swa_params is not None and not config.SWA.FROZEN_BN:
-        # torch update_bn semantics: the averaged weights' BN running
-        # stats are stale (they belong to the LAST model, not the
-        # average) — recompute them as the cumulative average over one
-        # pass of the training data, then overwrite the exported shadow
-        from msclip_tpu.train import save_params
-        from msclip_tpu.train.averaging import swa_refresh_bn
+        if jax.process_count() > 1:
+            # the refresh step is single-process (host-local batches,
+            # stripe-local statistics); divergent per-host stats would
+            # corrupt the collective export. Use SWA.FROZEN_BN at scale.
+            logging.warning(
+                "=> SWA BN refresh skipped under multi-process training "
+                "(single-process only); exported SWA weights keep the "
+                "last model's BN stats — prefer SWA.FROZEN_BN=True"
+            )
+        else:
+            # torch update_bn semantics: the averaged weights' BN running
+            # stats are stale (they belong to the LAST model, not the
+            # average) — recompute them as the cumulative average over one
+            # pass of the training data, then overwrite the exported shadow
+            from msclip_tpu.train import save_params
+            from msclip_tpu.train.averaging import swa_refresh_bn
 
-        logging.info("=> SWA: refreshing BN statistics over one epoch")
-        swa_params = swa_refresh_bn(
-            swa_params, spec, (b["image"] for b in loader)
-        )
-        save_params(os.path.join(out_dir, "checkpoints", "swa"),
-                    swa_params)
+            logging.info("=> SWA: refreshing BN statistics over one epoch")
+            swa_params = swa_refresh_bn(
+                swa_params, spec, (b["image"] for b in loader)
+            )
+            save_params(os.path.join(out_dir, "checkpoints", "swa"),
+                        swa_params)
     ckpt_mgr.wait()
     ckpt_mgr.close()
     logging.info("=> training complete")
