@@ -38,9 +38,19 @@ class KernelTuning:
     int8_min_seq: int
 
 
-# v5e numbers are measured (BENCH/PARITY round 2); v4/v5p share the 16 MB
-# VMEM/core envelope so they inherit them; v6e (Trillium) has twice the
-# VMEM — budgets scale with it, gates kept until measured.
+# v5e numbers are measured (BENCH/PARITY rounds 2-3); v4/v5p share the
+# 16 MB VMEM/core envelope so they inherit them; v6e (Trillium) has twice
+# the VMEM — budgets scale with it, gates kept until measured.
+#
+# Budget 14 MB re-confirmed by the r3 L=77/50/197 tile sweeps: every
+# pick it produces (fwd 16/8/4, bwd 8/8/2) is the in-context optimum.
+# The one standalone anomaly — text fwd L=77 tb=16 is 18% faster than
+# the picked tb=8 when the kernel runs ALONE (1.24 vs 1.50 ms/call at
+# B=256) — does NOT survive in-graph: with the GEMMs and LNs scheduled
+# around it, blocks time is 27.9 (tb=16) vs 27.1 ms (tb=8) and the full
+# train step is neutral-to-worse, so the larger tile's VMEM pressure
+# costs more than its grid amortization saves. Raising the budget to
+# 15.5 MB to flip that pick was measured and rejected.
 _TABLE = {
     "v4": KernelTuning(14 * _MB, 11 * _MB, 96),
     "v5e": KernelTuning(14 * _MB, 11 * _MB, 96),
