@@ -295,6 +295,47 @@ def test_swa_anneal_schedule():
     assert swa_anneal_wrap(base, cfg, 10) is base
 
 
+def test_swa_anneal_matches_torch_swalr():
+    """Oracle: swa_anneal_wrap evaluated at epoch boundaries must equal
+    torch.optim.swa_utils.SWALR stepped once per epoch (both strategies,
+    several anneal lengths)."""
+    import torch
+    from torch.optim.swa_utils import SWALR
+
+    from msclip_tpu.train.optim import swa_anneal_wrap
+
+    base_lr, ratio = 1e-3, 0.5
+    steps_per_epoch = 7
+    for strategy in ("cos", "linear"):
+        for anneal_epochs in (1, 3, 5):
+            cfg = _cfg()
+            cfg.SWA.ENABLED = True
+            cfg.SWA.BEGIN_EPOCH = 2
+            cfg.SWA.ANNEAL_EPOCHS = anneal_epochs
+            cfg.SWA.LR_RATIO = ratio
+            cfg.SWA.ANNEAL_STRATEGY = strategy
+            cfg.TRAIN.LR = base_lr
+            sched = swa_anneal_wrap(lambda s: jnp.asarray(base_lr), cfg,
+                                    steps_per_epoch)
+
+            p = torch.nn.Parameter(torch.zeros(1))
+            opt = torch.optim.SGD([p], lr=base_lr)
+            swalr = SWALR(opt, swa_lr=base_lr * ratio,
+                          anneal_epochs=anneal_epochs,
+                          anneal_strategy=strategy)
+            # torch steps the scheduler once per epoch from SWA start;
+            # compare at every epoch boundary from SWA begin onward
+            for k in range(anneal_epochs + 3):
+                torch_lr = opt.param_groups[0]["lr"]
+                ours = float(sched((cfg.SWA.BEGIN_EPOCH + k)
+                                   * steps_per_epoch))
+                np.testing.assert_allclose(
+                    ours, torch_lr, rtol=1e-6,
+                    err_msg=f"{strategy} anneal={anneal_epochs} epoch+{k}",
+                )
+                swalr.step()
+
+
 def test_frozen_bn_train_step():
     """SWA.FROZEN_BN: a freeze_bn step must use (and not touch) the BN
     running stats; the default step updates them."""
