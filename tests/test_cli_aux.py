@@ -230,3 +230,47 @@ def test_retrieval_cli_karpathy(tmp_path):
     assert float(vals["i2t_r10"]) == 100.0
     assert float(vals["t2i_r10"]) == 100.0
     assert float(vals["i2t_r1"]) <= float(vals["i2t_r5"])
+
+
+@pytest.mark.slow
+def test_train_export_eval_handoff(imagefolder, tmp_path):
+    """Full loop across CLIs: train with EMA+SWA -> the driver exports
+    checkpoints/{ema,swa} (orbax params dirs) -> the zero-shot eval CLI
+    consumes each via MODEL.PRETRAINED_MODEL and produces a finite
+    metric. Locks the averaging exports to the eval loader contract."""
+    out_dir = tmp_path / "train"
+    r = _run([
+        "tools/train.py",
+        "--cfg", "experiments/model/b32-yfcc-msclips.yaml",
+        "OUTPUT_DIR", str(out_dir),
+        "DATASET.DATASET", "synthetic", "DATASET.NUM_SAMPLES", "16",
+        "TRAIN.END_EPOCH", "2", "TRAIN.BATCH_SIZE_PER_GPU", "2",
+        "TRAIN.SAVE_EVERY_STEPS", "0", "PRINT_FREQ", "8",
+        "TRAIN.EMA_DECAY", "0.9",
+        "SWA.ENABLED", "True", "SWA.BEGIN_EPOCH", "1",
+        "SWA.FROZEN_BN", "False",
+    ] + TINY_OPTS)
+    assert r.returncode == 0, (r.stdout[-1500:] + r.stderr[-2500:])
+    ckpt_root = None
+    for dirpath, dirnames, _ in os.walk(out_dir):
+        if "ema" in dirnames and "swa" in dirnames:
+            ckpt_root = dirpath
+            break
+    assert ckpt_root, f"no ema/swa exports under {out_dir}"
+
+    for shadow in ("ema", "swa"):
+        r = _run([
+            "tools/zero_shot.py",
+            "--ds", "experiments/dataset/imagenet.yaml",
+            "--model", "experiments/model/b32-yfcc-msclips.yaml",
+            "MODEL.PRETRAINED_MODEL", os.path.join(ckpt_root, shadow),
+            "DATASET.ROOT", str(imagefolder.parent),
+            "DATASET.TEST_SET", imagefolder.name,
+            "OUTPUT_DIR", str(tmp_path / f"eval_{shadow}"),
+        ] + TINY_OPTS)
+        assert r.returncode == 0, (shadow, r.stderr[-2500:])
+        line = [l for l in r.stdout.splitlines()
+                if l.startswith("RESULT")][0]
+        val = float(dict(kv.split("=") for kv in
+                         line.split()[2:])["accuracy"])
+        assert np.isfinite(val), (shadow, line)
