@@ -172,15 +172,15 @@ def make_train_transform(config):
     pil_fn = functools.partial(pil_train_transform, size=size, mean=mean,
                                std=std, scale=scale, ratio=ratio)
 
+    import io
+
+    from PIL import Image, ImageFile
+
     def transform(path):
         img, data = _native_train_decode(path, size, mean, std, scale, 0.5)
         if img is not None:
             return img
         if data is not None:  # bytes already read: decode them directly
-            import io
-
-            from PIL import Image, ImageFile
-
             # same tolerance as datasets._load_image — a truncated JPEG
             # (native decode rejects it, hence this fallback) must not
             # kill the run at corpus scale

@@ -340,8 +340,16 @@ def batch_norm(p, x, eps=1e-5, training=False, axis_name=None, momentum=0.1,
     bshape = [1] * x.ndim
     bshape[c_axis] = -1
     if not training:
-        scale = p["scale"] * jax.lax.rsqrt(p["var"] + eps)
-        offset = p["bias"] - p["mean"] * scale
+        # running stats are buffers, not parameters (torch
+        # requires_grad=False): stop_gradient so a differentiated
+        # eval-mode forward (SWA.FROZEN_BN training, linear probes)
+        # cannot leak phantom grads into them — they would inflate
+        # clip_by_global_norm and the grad_norm metric even though the
+        # optimizer zeroes their updates
+        mean = jax.lax.stop_gradient(p["mean"])
+        var = jax.lax.stop_gradient(p["var"])
+        scale = p["scale"] * jax.lax.rsqrt(var + eps)
+        offset = p["bias"] - mean * scale
         return x * scale.astype(dtype).reshape(bshape) \
             + offset.astype(dtype).reshape(bshape)
 

@@ -128,9 +128,9 @@ def swa_anneal_wrap(base_sched, config, steps_per_epoch: int):
     (``lib/config/default.py:113-115``) with torch ``SWALR`` semantics:
     once SWA begins (``SWA.BEGIN_EPOCH``), anneal from the base schedule's
     value at that point to ``swa_lr = TRAIN.LR * LR_RATIO`` over
-    ``ANNEAL_EPOCHS`` ('cos' or 'linear'), then hold. Group LR scales
-    (the shared-trunk group) multiply on top, so each group anneals to
-    its own ``lr * RATIO`` — torch's per-group behaviour."""
+    ``ANNEAL_EPOCHS`` ('cos' or 'linear'), then hold. Wrap each param
+    group's fully-composed schedule (incl. the shared-group scale): a
+    scalar ``swa_lr`` in torch anneals every group to the SAME value."""
     if not (config.SWA.ENABLED and config.SWA.BEGIN_EPOCH >= 0):
         return base_sched
     begin = config.SWA.BEGIN_EPOCH * steps_per_epoch
@@ -213,12 +213,17 @@ def build_optimizer(config, params, spec, steps_per_epoch: int):
     labels = param_labels(params, spec)
     mask = wd_mask(params, without_wd)
 
-    base_sched = swa_anneal_wrap(
-        build_schedule(config, steps_per_epoch), config, steps_per_epoch
-    )
+    raw_sched = build_schedule(config, steps_per_epoch)
     lr_share = config.CUSTOM.get("LR_SHARE", 0.0) or config.TRAIN.LR
     share_scale = lr_share / max(config.TRAIN.LR, 1e-12)
-    share_sched = lambda step: base_sched(step) * share_scale
+    raw_share = lambda step: raw_sched(step) * share_scale
+    # SWA anneal wraps each group's COMPOSED schedule: torch SWALR with a
+    # scalar swa_lr anneals EVERY param group from its own current LR to
+    # the same swa_lr — wrapping before the share scaling would instead
+    # send the shared group to share_scale*swa_lr (10x off for the
+    # b32-yfcc configs)
+    base_sched = swa_anneal_wrap(raw_sched, config, steps_per_epoch)
+    share_sched = swa_anneal_wrap(raw_share, config, steps_per_epoch)
     wd_share = config.CUSTOM.get("WD_SHARE", 0.0) or config.TRAIN.WD
 
     # per-group WD masks must share the group's subtree structure; optax

@@ -335,6 +335,31 @@ def test_swa_anneal_matches_torch_swalr():
                 )
                 swalr.step()
 
+    # two groups, scalar swa_lr: torch anneals BOTH to the same swa_lr —
+    # our shared-trunk group (scaled schedule) must do the same, so the
+    # anneal wraps the composed schedule, not the unscaled base
+    cfg = _cfg()
+    cfg.SWA.ENABLED = True
+    cfg.SWA.BEGIN_EPOCH = 2
+    cfg.SWA.ANNEAL_EPOCHS = 3
+    cfg.SWA.LR_RATIO = ratio
+    cfg.TRAIN.LR = base_lr
+    share_scale = 0.1
+    share = swa_anneal_wrap(lambda s: jnp.asarray(base_lr) * share_scale,
+                            cfg, steps_per_epoch)
+    p1 = torch.nn.Parameter(torch.zeros(1))
+    p2 = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([{"params": [p1], "lr": base_lr},
+                           {"params": [p2], "lr": base_lr * share_scale}])
+    swalr = SWALR(opt, swa_lr=base_lr * ratio, anneal_epochs=3,
+                  anneal_strategy="cos")
+    for k in range(6):
+        torch_lr = opt.param_groups[1]["lr"]
+        ours = float(share((2 + k) * steps_per_epoch))
+        np.testing.assert_allclose(ours, torch_lr, rtol=1e-6,
+                                   err_msg=f"shared group epoch+{k}")
+        swalr.step()
+
 
 def test_frozen_bn_train_step():
     """SWA.FROZEN_BN: a freeze_bn step must use (and not touch) the BN
@@ -361,6 +386,21 @@ def test_frozen_bn_train_step():
     s2, _ = make_train_step(spec, tx, donate=False)(state, images, tokens)
     m2, v2 = bn_stats(s2.params)
     assert not np.array_equal(m0, m2) and not np.array_equal(v0, v2)
+
+    # the running stats are buffers, not parameters: the frozen fold
+    # must not leak gradients into them (torch requires_grad=False) —
+    # phantom grads would inflate clip_by_global_norm and grad_norm
+    from msclip_tpu.train.trainer import make_loss_fn
+
+    loss_fn = make_loss_fn(spec, freeze_bn=True)
+    grads = jax.grad(
+        lambda p: loss_fn(p, images, tokens)[0]
+    )(state.params)
+    g_bn = grads["visual"]["stem"]["bn1"]
+    np.testing.assert_array_equal(np.asarray(g_bn["mean"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(g_bn["var"]), 0.0)
+    # the learnable affine still trains
+    assert np.abs(np.asarray(g_bn["scale"])).max() > 0
 
 
 def test_checkpoint_force_replace_and_shadows(tmp_path):

@@ -208,10 +208,14 @@ def main():
             else:
                 swa_params, swa_n = swa_update(swa_params, state.params,
                                                swa_n)
+        # force: an epoch that yields zero batches (stripe smaller than
+        # the per-process batch) leaves global_step unchanged — the
+        # second epoch-end save at the same step must replace, not raise
         ckpt_mgr.save(global_step, state.params, state.opt_state,
                       extra={"epoch": epoch + 1, "swa_n": int(swa_n)},
                       shadows={"ema": state.ema_params,
-                               "swa": swa_params})
+                               "swa": swa_params},
+                      force=True)
         if state.ema_params is not None or swa_params is not None:
             # EMA/SWA shadows: the reference's ema_shadow_states /
             # swa_states checkpoint fields (lib/utils/utils.py:157-201)
