@@ -46,7 +46,10 @@ def main():
         model.encode_image(
             np.zeros((b, model.image_size, model.image_size, 3), np.uint8)
         )
-    logging.info(f"=> warmed {len(model.buckets)} image buckets")
+        model.encode_text(
+            np.zeros((b, model.context_length), np.int32)
+        )
+    logging.info(f"=> warmed {len(model.buckets)} image+text buckets")
     server = InferenceServer(model, host=args.host, port=args.port,
                              max_wait_ms=args.max_wait_ms)
     print(f"SERVING http://{server.address[0]}:{server.address[1]}",
