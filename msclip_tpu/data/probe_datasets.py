@@ -15,11 +15,13 @@ drivers can consume the public distributions directly:
   annotation txt   Oxford-IIIT Pets
   csv + ppm        GTSRB
   .mat index       Oxford Flowers-102, Stanford Cars (scipy)
-  ImageFolder      EuroSAT, RESISC45, Country211, Caltech-101,
-                   Rendered-SST2, Birdsnap (already covered by
-                   ``ImageFolderDataset``; the registry maps them)
-
-  h5 arrays        PatchCamelyon (h5py)
+  ImageFolder + hash split    EuroSAT, RESISC45 (no official split:
+                              deterministic crc32 80/20)
+  ImageFolder + protocol      Caltech-101 (30 train/class), Birdsnap
+                              (test_images.txt)
+  ImageFolder per split dir   Country211, Rendered-SST2
+  detection labels -> bins    KITTI closest-vehicle-distance (VTAB task)
+  h5 arrays                   PatchCamelyon (h5py)
 
 Every dataset yields ``(transform(PIL image), int label)`` with the
 standard eval transform by default, so all of them drop into
@@ -401,10 +403,193 @@ class PatchCamelyon:
         return self.transform(_pil(arr)), int(self.labels[i])
 
 
-# name -> loader class (defined after every class so no placeholders);
-# ImageFolder-layout members of the suite (eurosat, resisc45,
-# country211, caltech-101, rendered-sst2, birdsnap) route through
-# datasets.ImageFolderDataset via DATASET.TEST_SET instead.
+def _scan_folder(root, skip=()):
+    """ImageFolder scan: sorted class dirs -> [(path, label)], classes."""
+    from .datasets import IMG_EXTENSIONS
+
+    classes = sorted(
+        d for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and d not in skip
+    )
+    if not classes:
+        raise FileNotFoundError(f"No class directories under {root}")
+    samples = []
+    for idx, cls in enumerate(classes):
+        cdir = os.path.join(root, cls)
+        for fname in sorted(os.listdir(cdir)):
+            if fname.lower().endswith(IMG_EXTENSIONS):
+                samples.append((os.path.join(cdir, fname), idx))
+    return samples, classes
+
+
+def _crc_split(key: str, train_pct: int) -> bool:
+    """Deterministic, machine-independent membership test: True if the
+    sample belongs to the train split. Hash-based (crc32 of the
+    class-relative filename) so membership never shifts when files are
+    added or the listing order changes."""
+    import zlib
+
+    return zlib.crc32(key.encode()) % 100 < train_pct
+
+
+class _HashSplitFolder(_PathDataset):
+    """ImageFolder tree with NO on-disk split (EuroSAT, RESISC45 ship as
+    one directory per class). Deterministic 80/20 train/test split via
+    :func:`_crc_split` on ``<class>/<filename>`` — the public
+    distributions define no official split, so the convention is stated
+    here and reproduced everywhere (same rule as our docs/DATA.md)."""
+
+    SUBDIR: Optional[str] = None
+    TRAIN_PCT = 80
+
+    def __init__(self, root: str, image_set: str = "train",
+                 transform: Optional[Callable] = None):
+        if self.SUBDIR and os.path.isdir(os.path.join(root, self.SUBDIR)):
+            root = os.path.join(root, self.SUBDIR)
+        samples, classes = _scan_folder(root)
+        want_train = {"train": True, "test": False}[image_set]
+        keep = []
+        for path, label in samples:
+            key = f"{classes[label]}/{os.path.basename(path)}"
+            if _crc_split(key, self.TRAIN_PCT) == want_train:
+                keep.append((path, label))
+        super().__init__(keep, classes, transform)
+
+
+class EuroSat(_HashSplitFolder):
+    """EuroSAT RGB (``2750/<class>/*.jpg``, 10 classes, no official
+    split; deterministic 80/20 hash split)."""
+
+    SUBDIR = "2750"
+
+
+class Resisc45(_HashSplitFolder):
+    """NWPU-RESISC45 (``NWPU-RESISC45/<class>/*.jpg``, 45 classes, no
+    official split; deterministic 80/20 hash split)."""
+
+    SUBDIR = "NWPU-RESISC45"
+
+
+class Caltech101(_PathDataset):
+    """Caltech-101 (``101_ObjectCategories/<class>/image_*.jpg``).
+    Standard protocol: ``BACKGROUND_Google`` excluded; per class the
+    first 30 images (sorted) are train, the rest test."""
+
+    TRAIN_PER_CLASS = 30
+
+    def __init__(self, root: str, image_set: str = "train",
+                 transform: Optional[Callable] = None):
+        sub = os.path.join(root, "101_ObjectCategories")
+        if os.path.isdir(sub):
+            root = sub
+        samples, classes = _scan_folder(root, skip=("BACKGROUND_Google",))
+        per_class: dict = {}
+        keep = []
+        want_train = {"train": True, "test": False}[image_set]
+        for path, label in samples:  # sorted within class by _scan_folder
+            k = per_class.get(label, 0)
+            per_class[label] = k + 1
+            if (k < self.TRAIN_PER_CLASS) == want_train:
+                keep.append((path, label))
+        super().__init__(keep, classes, transform)
+
+
+class _SubdirSplitFolder(_PathDataset):
+    """ImageFolder tree with per-split subdirectories
+    (``root/{train,valid,test}/<class>/...`` — the OpenAI release layout
+    of Country211 and Rendered-SST2)."""
+
+    SPLITS = {"train": "train", "val": "valid", "valid": "valid",
+              "test": "test"}
+
+    def __init__(self, root: str, image_set: str = "train",
+                 transform: Optional[Callable] = None):
+        samples, classes = _scan_folder(
+            os.path.join(root, self.SPLITS[image_set])
+        )
+        super().__init__(samples, classes, transform)
+
+
+class Country211(_SubdirSplitFolder):
+    """Country211 (OpenAI release: ``country211/{train,valid,test}/<ISO
+    code>/*.jpg``, 211 classes)."""
+
+
+class RenderedSst2(_SubdirSplitFolder):
+    """Rendered SST-2 (OpenAI release: ``rendered-sst2/{train,valid,
+    test}/{negative,positive}/*.png``)."""
+
+
+class Birdsnap(_PathDataset):
+    """Birdsnap (``images/<Class_name>/<file>.jpg`` + the distribution's
+    ``test_images.txt`` listing ``<Class_name>/<file>.jpg`` test rows;
+    train = everything else)."""
+
+    def __init__(self, root: str, image_set: str = "train",
+                 transform: Optional[Callable] = None):
+        with open(os.path.join(root, "test_images.txt")) as f:
+            rows = [l.strip() for l in f if l.strip()]
+        if rows and rows[0].lower().startswith("filename"):
+            rows = rows[1:]  # distribution file has a "fileName" header
+        test_set = set(rows)
+        samples, classes = _scan_folder(os.path.join(root, "images"))
+        img_root = os.path.join(root, "images")
+        want_test = image_set == "test"
+        keep = [
+            (p, lbl) for p, lbl in samples
+            if (os.path.relpath(p, img_root) in test_set) == want_test
+        ]
+        super().__init__(keep, classes, transform)
+
+
+class KittiDistance(_PathDataset):
+    """KITTI closest-vehicle-distance (VTAB task convention).
+
+    Layout: ``training/image_2/<id>.png`` + ``training/label_2/<id>.txt``
+    (KITTI object-detection labels; field 0 = type, field 13 = camera-z
+    metres). Label = distance bin of the NEAREST vehicle
+    (Car/Van/Truck): 0 → z < 8 m, 1 → 8-20 m, 2 → ≥ 20 m, 3 → no vehicle
+    in frame. KITTI's official test set has no public labels, so the
+    probe split is a deterministic 80/20 hash split of the training
+    frames (:func:`_crc_split` on the frame id)."""
+
+    VEHICLES = ("Car", "Van", "Truck")
+    CLASSES = ["vehicle closer than 8m", "vehicle 8-20m away",
+               "vehicle at least 20m away", "no vehicle"]
+    TRAIN_PCT = 80
+
+    def __init__(self, root: str, image_set: str = "train",
+                 transform: Optional[Callable] = None):
+        img_dir = os.path.join(root, "training", "image_2")
+        lbl_dir = os.path.join(root, "training", "label_2")
+        want_train = {"train": True, "test": False}[image_set]
+        samples = []
+        for fname in sorted(os.listdir(img_dir)):
+            stem, ext = os.path.splitext(fname)
+            if ext.lower() not in (".png", ".jpg", ".jpeg"):
+                continue
+            if _crc_split(stem, self.TRAIN_PCT) != want_train:
+                continue
+            z_min = None
+            with open(os.path.join(lbl_dir, stem + ".txt")) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 14 and parts[0] in self.VEHICLES:
+                        z = float(parts[13])
+                        z_min = z if z_min is None else min(z_min, z)
+            if z_min is None:
+                label = 3
+            elif z_min < 8.0:
+                label = 0
+            elif z_min < 20.0:
+                label = 1
+            else:
+                label = 2
+            samples.append((os.path.join(img_dir, fname), label))
+        super().__init__(samples, self.CLASSES, transform)
+
+
+# name -> loader class (defined after every class so no placeholders).
 PROBE_DATASETS = {
     "cifar-10": Cifar10,
     "cifar-100": Cifar100,
@@ -420,6 +605,13 @@ PROBE_DATASETS = {
     "fgvc-aircraft-2013b": FgvcAircraft,
     "stanford-cars": StanfordCars,
     "pcam": PatchCamelyon,
+    "eurosat": EuroSat,
+    "resisc45": Resisc45,
+    "caltech-101": Caltech101,
+    "country211": Country211,
+    "rendered-sst2": RenderedSst2,
+    "birdsnap": Birdsnap,
+    "kitti-distance": KittiDistance,
 }
 
 

@@ -274,3 +274,38 @@ def test_train_export_eval_handoff(imagefolder, tmp_path):
         val = float(dict(kv.split("=") for kv in
                          line.split()[2:])["accuracy"])
         assert np.isfinite(val), (shadow, line)
+
+
+def test_linear_probe_cli_transfer_suite(tmp_path):
+    """tools/linear_probe.py end to end on a transfer-suite loader with a
+    hash-split ImageFolder layout (EuroSAT), honoring TEST.IMAGE_SIZE."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    for cls in ("Forest", "River", "Highway"):
+        d = tmp_path / "2750" / cls
+        d.mkdir(parents=True)
+        for i in range(12):
+            Image.fromarray(
+                (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+            ).save(d / f"{cls}_{i}.jpg")
+    ds_yaml = tmp_path / "eurosat.yaml"
+    ds_yaml.write_text(
+        "DATASET:\n"
+        "  DATASET: 'eurosat'\n"
+        f"  ROOT: '{tmp_path}'\n"
+        "  NUM_CLASSES: 3\n"
+        "TEST:\n"
+        "  METRIC: 'accuracy'\n"
+    )
+    r = _run([
+        "tools/linear_probe.py",
+        "--ds", str(ds_yaml),
+        "--model", "experiments/model/b32.yaml",
+        "--probe", "jax",
+        "OUTPUT_DIR", str(tmp_path / "out"),
+    ] + TINY_OPTS)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("RESULT")][0]
+    val = float(line.split("linear_probe=")[1])
+    assert 0.0 <= val <= 100.0

@@ -329,3 +329,129 @@ def test_pcam_h5(tmp_path):
     assert len(tr) == 4 and len(te) == 2
     img, label = tr[0]
     assert img.shape == (8, 8, 3) and label in (0, 1)
+
+
+def test_hash_split_folder(tmp_path):
+    """EuroSAT layout: deterministic 80/20 split — disjoint, exhaustive,
+    and stable when unrelated files are added."""
+    from msclip_tpu.data.probe_datasets import EuroSat
+
+    root = tmp_path / "2750"
+    for cls in ("Forest", "River"):
+        for i in range(20):
+            _save_jpg(str(root / cls / f"{cls}_{i}.jpg"), seed=i)
+    tr = EuroSat(str(tmp_path), "train", transform=_tf)
+    te = EuroSat(str(tmp_path), "test", transform=_tf)
+    assert tr.classes == ["Forest", "River"]
+    tr_paths = {p for p, _ in tr.samples}
+    te_paths = {p for p, _ in te.samples}
+    assert not (tr_paths & te_paths)
+    assert len(tr_paths) + len(te_paths) == 40
+    assert 0 < len(te_paths) < 40  # both splits non-empty
+    img, label = tr[0]
+    assert img.shape == (8, 8, 3) and label in (0, 1)
+
+    # membership is per-file: adding images never moves existing ones
+    _save_jpg(str(root / "Forest" / "zz_new.jpg"))
+    tr2 = EuroSat(str(tmp_path), "train", transform=_tf)
+    te2 = EuroSat(str(tmp_path), "test", transform=_tf)
+    assert tr_paths <= {p for p, _ in tr2.samples}
+    assert te_paths <= {p for p, _ in te2.samples}
+
+
+def test_resisc45_subdir(tmp_path):
+    from msclip_tpu.data.probe_datasets import Resisc45
+
+    root = tmp_path / "NWPU-RESISC45"
+    for cls in ("airport", "beach"):
+        for i in range(10):
+            _save_jpg(str(root / cls / f"{cls}_{i:03d}.jpg"), seed=i)
+    tr = Resisc45(str(tmp_path), "train", transform=_tf)
+    te = Resisc45(str(tmp_path), "test", transform=_tf)
+    assert len(tr) + len(te) == 20
+    assert tr.classes == ["airport", "beach"]
+
+
+def test_caltech101_protocol(tmp_path):
+    """First 30 sorted images per class are train; BACKGROUND_Google is
+    excluded per the standard protocol."""
+    from msclip_tpu.data.probe_datasets import Caltech101
+
+    root = tmp_path / "101_ObjectCategories"
+    for i in range(33):
+        _save_jpg(str(root / "accordion" / f"image_{i:04d}.jpg"), seed=i)
+    for i in range(5):
+        _save_jpg(str(root / "brain" / f"image_{i:04d}.jpg"), seed=i)
+    _save_jpg(str(root / "BACKGROUND_Google" / "image_0001.jpg"))
+    tr = Caltech101(str(tmp_path), "train", transform=_tf)
+    te = Caltech101(str(tmp_path), "test", transform=_tf)
+    assert tr.classes == ["accordion", "brain"]
+    assert len(tr) == 30 + 5 and len(te) == 3
+    # the 3 test rows are accordion's images 30..32 (sorted order)
+    assert all(lbl == 0 for _, lbl in te.samples)
+    assert {os.path.basename(p) for p, _ in te.samples} == {
+        "image_0030.jpg", "image_0031.jpg", "image_0032.jpg"}
+
+
+def test_country211_and_sst2_split_dirs(tmp_path):
+    from msclip_tpu.data.probe_datasets import Country211, RenderedSst2
+
+    for split, n in (("train", 3), ("valid", 2), ("test", 1)):
+        for cls in ("DE", "US"):
+            for i in range(n):
+                _save_jpg(str(tmp_path / split / cls / f"{i}.jpg"), seed=i)
+    tr = Country211(str(tmp_path), "train", transform=_tf)
+    va = Country211(str(tmp_path), "val", transform=_tf)
+    te = Country211(str(tmp_path), "test", transform=_tf)
+    assert (len(tr), len(va), len(te)) == (6, 4, 2)
+    assert tr.classes == ["DE", "US"]
+    assert tr[3][1] == 1  # sorted scan: DE rows first
+    # RenderedSst2 shares the layout family
+    assert len(RenderedSst2(str(tmp_path), "test", transform=_tf)) == 2
+
+
+def test_birdsnap_test_list(tmp_path):
+    from msclip_tpu.data.probe_datasets import Birdsnap
+
+    for cls, names in (("Acadian_Flycatcher", ["a.jpg", "b.jpg"]),
+                       ("Blue_Jay", ["c.jpg"])):
+        for n in names:
+            _save_jpg(str(tmp_path / "images" / cls / n))
+    (tmp_path / "test_images.txt").write_text(
+        "fileName\nAcadian_Flycatcher/b.jpg\n")
+    tr = Birdsnap(str(tmp_path), "train", transform=_tf)
+    te = Birdsnap(str(tmp_path), "test", transform=_tf)
+    assert len(tr) == 2 and len(te) == 1
+    assert te.samples[0][0].endswith("b.jpg") and te.samples[0][1] == 0
+    assert tr.classes == ["Acadian_Flycatcher", "Blue_Jay"]
+
+
+def test_kitti_distance_bins(tmp_path):
+    """VTAB closest-vehicle-distance binning from KITTI object labels."""
+    from msclip_tpu.data.probe_datasets import KittiDistance
+
+    img_dir = tmp_path / "training" / "image_2"
+    lbl_dir = tmp_path / "training" / "label_2"
+    lbl_dir.mkdir(parents=True)
+    # field 13 is camera z; one object line per row
+    obj = ("{typ} 0.0 0 0.0 100 100 200 200 "
+           "1.5 1.6 3.9 {x} 1.7 {z} 0.0\n")
+    cases = {
+        "000000": (obj.format(typ="Car", x=1.0, z=5.0)
+                   + obj.format(typ="Car", x=2.0, z=30.0), 0),
+        "000001": (obj.format(typ="Van", x=1.0, z=12.0), 1),
+        "000002": (obj.format(typ="Truck", x=1.0, z=45.0), 2),
+        "000003": (obj.format(typ="Pedestrian", x=1.0, z=3.0), 3),
+        "000004": ("", 3),
+    }
+    for stem, (text, _) in cases.items():
+        _save_jpg(str(img_dir / f"{stem}.png"))
+        (lbl_dir / f"{stem}.txt").write_text(text)
+    tr = KittiDistance(str(tmp_path), "train", transform=_tf)
+    te = KittiDistance(str(tmp_path), "test", transform=_tf)
+    assert len(tr) + len(te) == 5
+    got = {os.path.basename(p)[:6]: lbl
+           for p, lbl in tr.samples + te.samples}
+    assert got == {stem: lbl for stem, (_, lbl) in cases.items()}
+    assert len(KittiDistance(str(tmp_path), "train", transform=_tf)
+               .classes) == 4
