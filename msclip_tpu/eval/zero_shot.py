@@ -169,8 +169,23 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
     prompt_name = prompt_dataset or config.DATASET.DATASET
     if prompt_name == "synthetic":
         prompt_name = "imagenet"
-    classnames = get_classnames(prompt_name)
-    templates = get_templates(prompt_name)
+    if dataset is None:
+        dataset = make_dataset(config)
+    try:
+        classnames = get_classnames(prompt_name)
+        templates = get_templates(prompt_name)
+    except ValueError:
+        # transfer-suite datasets without a curated prompt set: fall back
+        # to the dataset's own classnames under the ImageNet-80 template
+        # ensemble (CLIP-paper default for unlisted datasets)
+        classnames = [str(c).replace("_", " ")
+                      for c in getattr(dataset, "classes", [])]
+        if not classnames:
+            raise
+        templates = get_templates("imagenet")
+        logging.info(f"=> no prompt set for '{prompt_name}'; using "
+                     f"{len(classnames)} dataset classnames with the "
+                     "imagenet template ensemble")
     subset = int(config.TEST.get("SUBSET_CLASSES", 0) or 0)
     if subset > 0:
         classnames = classnames[:subset]
@@ -184,8 +199,6 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
     weights.block_until_ready()
     logging.info(f"=> classifier built in {time.time() - t0:.1f}s")
 
-    if dataset is None:
-        dataset = make_dataset(config)
     from ..utils.comm import comm, gather_arrays, reduce_dict
 
     # Two-level data parallelism: each process evaluates a stripe of the

@@ -15,17 +15,22 @@ deployment path the task calls for:
 * :mod:`.server` — a threaded HTTP server (stdlib only) exposing
   ``/v1/embed/image``, ``/v1/embed/text``, ``/v1/classify``,
   ``/healthz`` and ``/stats`` on top of a loaded bundle.
+* :mod:`.live` — the multi-chip alternative to a bundle: the same
+  ``ServingModel`` interface jitted live over a 1-D mesh of all local
+  devices (data-parallel batch sharding, replicated params).
 
 See docs/SERVING.md for the deployment recipe.
 """
 
 from .batcher import DynamicBatcher
 from .export import ServingModel, export_bundle, load_bundle, pil_to_uint8
+from .live import live_serving_model
 
 __all__ = [
     "DynamicBatcher",
     "ServingModel",
     "export_bundle",
+    "live_serving_model",
     "load_bundle",
     "pil_to_uint8",
 ]

@@ -14,6 +14,12 @@ Endpoints (JSON out; stdlib-only, no web framework):
   ``{"topk": [{"label", "index", "logit", "prob"}...]}`` using the
   reference logit convention (``100 * feats @ W``,
   ``/root/reference/tools/zero_shot.py:149``).
+* ``POST /v1/rank`` — ``{"texts": [...], "image": <base64>,
+  "content_type": "image/jpeg"}``. Zero-shot ranking of the caller's
+  candidate texts against the image (cosine similarity × 100, the
+  model's own forward convention — unlike /v1/classify there is no
+  prompt-ensembled classifier to bake, so both sides are L2-normalized
+  here).
 * ``GET /healthz`` — liveness + bundle facts.
 * ``GET /stats`` — batcher coalescing counters.
 
@@ -121,6 +127,45 @@ class InferenceServer:
         embs = [f.result().tolist() for f in futs]
         return {"embeddings": embs, "dim": self.model.embed_dim}
 
+    def _rank(self, body: bytes) -> dict:
+        """Zero-shot ranking of caller-supplied texts against one image:
+        the on-the-fly version of /v1/classify (reference classifier
+        semantics, ``/root/reference/tools/zero_shot.py:122-149``, with
+        the prompt ensemble replaced by the caller's candidate texts)."""
+        import base64
+
+        req = json.loads(body)
+        texts = req.get("texts") or [req["text"]]
+        if not isinstance(texts, list) or not texts:
+            raise ValueError("texts must be a non-empty list")
+        image = base64.b64decode(req["image"])
+        crop = _decode_image(image, req.get("content_type", ""),
+                             self.model.image_size)
+        if self._tokenizer is None:
+            from ..data.tokenizer import ClipTokenizer
+
+            self._tokenizer = ClipTokenizer()
+        tokens = self._tokenizer.tokenize(
+            texts, context_length=self.model.context_length
+        ).astype(np.int32)
+        img_fut = self._image_batcher.submit(crop)
+        txt_futs = [self._text_batcher.submit(t) for t in tokens]
+        feat = img_fut.result()
+        feat = feat / max(float(np.linalg.norm(feat)), 1e-12)
+        embs = np.stack([f.result() for f in txt_futs])
+        embs = embs / np.maximum(
+            np.linalg.norm(embs, axis=-1, keepdims=True), 1e-12
+        )
+        logits = 100.0 * embs @ feat
+        e = np.exp(logits - logits.max())
+        probs = e / e.sum()
+        order = np.argsort(logits)[::-1]
+        return {"ranking": [
+            {"index": int(i), "text": texts[i],
+             "logit": float(logits[i]), "prob": float(probs[i])}
+            for i in order
+        ]}
+
     def _classify(self, body: bytes, content_type: str, topk: int) -> dict:
         if self.model.classifier is None:
             raise ValueError("bundle has no classifier; export with "
@@ -186,6 +231,8 @@ class InferenceServer:
                         self._send(200, server._embed_image(body, ctype))
                     elif path == "/v1/embed/text":
                         self._send(200, server._embed_text(body))
+                    elif path == "/v1/rank":
+                        self._send(200, server._rank(body))
                     elif path == "/v1/classify":
                         topk = 5
                         if "?" in self.path and "topk=" in self.path:

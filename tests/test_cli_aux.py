@@ -309,3 +309,15 @@ def test_linear_probe_cli_transfer_suite(tmp_path):
     line = [l for l in r.stdout.splitlines() if l.startswith("RESULT")][0]
     val = float(line.split("linear_probe=")[1])
     assert 0.0 <= val <= 100.0
+
+    # zero-shot on the same dataset: no curated prompt set exists, so the
+    # classifier must fall back to dataset classnames + imagenet templates
+    r = _run([
+        "tools/zero_shot.py",
+        "--ds", str(ds_yaml),
+        "--model", "experiments/model/b32.yaml",
+        "OUTPUT_DIR", str(tmp_path / "out_zs"),
+    ] + TINY_OPTS)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "no prompt set for 'eurosat'" in r.stdout + r.stderr
+    assert "RESULT eurosat accuracy=" in r.stdout

@@ -239,6 +239,32 @@ def test_http_server_end_to_end(bundle):
         assert cls["topk"][0]["index"] == int(np.argmax(logits))
         assert cls["topk"][0]["label"].startswith("class ")
 
+        # /v1/rank: caller-supplied candidate texts, cosine convention
+        import base64
+
+        texts = ["a photo of a cat", "a photo of a dog", "a red square"]
+        rank = _post(
+            base + "/v1/rank",
+            json.dumps({"texts": texts,
+                        "image": base64.b64encode(jpeg).decode(),
+                        "content_type": "image/jpeg"}).encode(),
+            "application/json",
+        )
+        rows = rank["ranking"]
+        assert [r["text"] for r in rows[:1]][0] in texts
+        assert len(rows) == 3
+        img_n = want / np.linalg.norm(want)
+        t_emb = served.encode_text(texts)
+        t_emb = t_emb / np.linalg.norm(t_emb, axis=-1, keepdims=True)
+        want_logits = 100.0 * t_emb @ img_n
+        got_order = [r["index"] for r in rows]
+        assert got_order == list(np.argsort(want_logits)[::-1])
+        np.testing.assert_allclose(
+            sorted((r["logit"] for r in rows), reverse=True),
+            np.sort(want_logits)[::-1], atol=1e-3, rtol=1e-3,
+        )
+        assert abs(sum(r["prob"] for r in rows) - 1.0) < 1e-5
+
         with urllib.request.urlopen(base + "/stats", timeout=30) as r:
             stats = json.loads(r.read())
         assert stats["image"]["requests"] >= 7
@@ -301,6 +327,126 @@ def test_serving_cli_end_to_end(tmp_path):
         assert all("label" in t and "prob" in t for t in out["topk"])
         probs = [t["prob"] for t in out["topk"]]
         assert probs == sorted(probs, reverse=True)
+    finally:
+        proc.terminate()
+        proc.wait(30)
+
+
+def test_live_serving_multichip(tiny_model):
+    """Live mode on the 8-device CPU mesh: buckets round up to device
+    multiples, outputs equal the unsharded model, and the per-bucket
+    callables really shard the batch axis across all devices."""
+    from msclip_tpu.serve import live_serving_model
+
+    model, params = tiny_model
+    n_dev = jax.local_device_count()
+    assert n_dev == 8  # conftest forces the 8-device CPU mesh
+
+    served = live_serving_model(model, params, buckets=(2, 12),
+                                image_size=SIZE)
+    assert served.buckets == [8, 16]
+    assert served.manifest["devices"] == n_dev
+
+    rng = np.random.default_rng(6)
+    images = rng.integers(0, 256, (5, SIZE, SIZE, 3), dtype=np.uint8)
+    got = served.encode_image(images)
+    want = _expected_image_feats(model, params, images)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    tokens = rng.integers(
+        1, model.spec.vocab_size, (3, model.spec.context_length)
+    ).astype(np.int32)
+    got_t = served.encode_text(tokens)
+    want_t = np.asarray(model.encode_text(params, jnp.asarray(tokens)))
+    np.testing.assert_allclose(got_t, want_t, atol=1e-5, rtol=1e-5)
+
+    # the bucket callable's result is genuinely sharded over the mesh
+    out = served._image_fns[8](
+        served._params,
+        jnp.zeros((8, SIZE, SIZE, 3), jnp.uint8),
+    )
+    assert len(out.sharding.device_set) == n_dev
+
+
+def test_live_serving_http(tiny_model):
+    """The HTTP server runs unchanged on a live (mesh-sharded) model."""
+    from msclip_tpu.serve import live_serving_model
+    from msclip_tpu.serve.server import InferenceServer
+
+    model, params = tiny_model
+    rng = np.random.default_rng(7)
+    classifier = rng.standard_normal(
+        (model.spec.embed_dim, 3)
+    ).astype(np.float32)
+    served = live_serving_model(
+        model, params, buckets=(8,), image_size=SIZE,
+        classifier=classifier, classnames=["a", "b", "c"],
+    )
+    server = InferenceServer(served, port=0, max_wait_ms=2.0).start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        arr = rng.integers(0, 256, (SIZE, SIZE, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        out = _post(base + "/v1/embed/image", buf.getvalue(),
+                    "application/npy")
+        got = np.asarray(out["embedding"], np.float32)
+        want = served.encode_image(arr[None])[0]
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+        cls = _post(base + "/v1/classify?topk=2", buf.getvalue(),
+                    "application/npy")
+        logits = 100.0 * want @ classifier
+        assert cls["topk"][0]["index"] == int(np.argmax(logits))
+    finally:
+        server.close()
+
+
+def test_live_serving_cli(tmp_path):
+    """tools/serve.py --model (live mode) as a real subprocess on a
+    forced 8-device CPU host: buckets announce as device multiples and
+    one text embedding round-trips."""
+    env = dict(os.environ)
+    env["MSCLIP_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    tiny = [
+        "TRAIN.IMAGE_SIZE", "[64,64]", "TEST.IMAGE_SIZE", "[64,64]",
+        "MODEL.SPEC.VISION.WIDTH", "128", "MODEL.SPEC.VISION.LAYERS", "2",
+        "MODEL.SPEC.VISION.PATCH_SIZE", "32",
+        "MODEL.SPEC.TEXT.WIDTH", "128", "MODEL.SPEC.TEXT.HEADS", "2",
+        "MODEL.SPEC.TEXT.LAYERS", "2", "MODEL.SPEC.EMBED_DIM", "32",
+    ]
+    proc = subprocess.Popen(
+        [sys.executable, "tools/serve.py", "--model",
+         "experiments/model/b32.yaml", "--port", "0",
+         "--buckets", "1"] + tiny,
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=env,
+    )
+    try:
+        base = None
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            if line.startswith("SERVING "):
+                base = line.split()[1].strip()
+                break
+        assert base, "live server never announced its address"
+
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["buckets"] == [8]  # 1 rounded up to the 8 devices
+
+        out = _post(
+            base + "/v1/embed/text",
+            json.dumps({"text": "a photo of a dog"}).encode(),
+            "application/json",
+        )
+        emb = np.asarray(out["embeddings"], np.float32)
+        assert emb.shape == (1, 32) and np.isfinite(emb).all()
     finally:
         proc.terminate()
         proc.wait(30)
