@@ -30,6 +30,31 @@ def _load_image(path):
     return Image.open(path).convert("RGB")
 
 
+def scan_image_folder(root: str, skip: Sequence[str] = ()):
+    """torchvision-``ImageFolder`` scan: sorted class subdirectories,
+    images sorted within class. Returns ``([(path, label)], classes)``.
+    Raises loudly on an empty tree — a mislaid ROOT must never produce a
+    silent 0-image eval."""
+    classes = sorted(
+        d for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and d not in skip
+    )
+    if not classes:
+        raise FileNotFoundError(f"No class directories under {root}")
+    samples: List = []
+    for idx, cls in enumerate(classes):
+        cdir = os.path.join(root, cls)
+        for fname in sorted(os.listdir(cdir)):
+            if fname.lower().endswith(IMG_EXTENSIONS):
+                samples.append((os.path.join(cdir, fname), idx))
+    if not samples:
+        raise FileNotFoundError(
+            f"No images under {root} (classes: {classes[:5]}...) — "
+            "expected <class>/<image> ImageFolder layout"
+        )
+    return samples, classes
+
+
 class ImageFolderDataset:
     """torchvision-``ImageFolder`` semantics: one subdirectory per class,
     classes sorted lexicographically, images sorted within class.
@@ -54,19 +79,7 @@ class ImageFolderDataset:
         self.image_size = image_size
         self.mean = tuple(mean) if mean is not None else IMAGENET_MEAN
         self.std = tuple(std) if std is not None else IMAGENET_STD
-        classes = sorted(
-            d for d in os.listdir(root)
-            if os.path.isdir(os.path.join(root, d))
-        )
-        if not classes:
-            raise FileNotFoundError(f"No class directories under {root}")
-        self.classes = classes
-        self.samples: List = []
-        for idx, cls in enumerate(classes):
-            cdir = os.path.join(root, cls)
-            for fname in sorted(os.listdir(cdir)):
-                if fname.lower().endswith(IMG_EXTENSIONS):
-                    self.samples.append((os.path.join(cdir, fname), idx))
+        self.samples, self.classes = scan_image_folder(root)
 
     def __len__(self):
         return len(self.samples)

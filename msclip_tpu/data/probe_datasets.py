@@ -404,22 +404,10 @@ class PatchCamelyon:
 
 
 def _scan_folder(root, skip=()):
-    """ImageFolder scan: sorted class dirs -> [(path, label)], classes."""
-    from .datasets import IMG_EXTENSIONS
+    """Shared ImageFolder scan (raises loudly on an empty tree)."""
+    from .datasets import scan_image_folder
 
-    classes = sorted(
-        d for d in os.listdir(root)
-        if os.path.isdir(os.path.join(root, d)) and d not in skip
-    )
-    if not classes:
-        raise FileNotFoundError(f"No class directories under {root}")
-    samples = []
-    for idx, cls in enumerate(classes):
-        cdir = os.path.join(root, cls)
-        for fname in sorted(os.listdir(cdir)):
-            if fname.lower().endswith(IMG_EXTENSIONS):
-                samples.append((os.path.join(cdir, fname), idx))
-    return samples, classes
+    return scan_image_folder(root, skip=skip)
 
 
 def _crc_split(key: str, train_pct: int) -> bool:
@@ -497,16 +485,27 @@ class Caltech101(_PathDataset):
 class _SubdirSplitFolder(_PathDataset):
     """ImageFolder tree with per-split subdirectories
     (``root/{train,valid,test}/<class>/...`` — the OpenAI release layout
-    of Country211 and Rendered-SST2)."""
+    of Country211 and Rendered-SST2). Class indexing is derived from the
+    UNION of classes across all split directories, so a class absent
+    from one split (pruned subset, partial download) can never silently
+    misalign train-vs-test labels."""
 
     SPLITS = {"train": "train", "val": "valid", "valid": "valid",
               "test": "test"}
 
     def __init__(self, root: str, image_set: str = "train",
                  transform: Optional[Callable] = None):
-        samples, classes = _scan_folder(
-            os.path.join(root, self.SPLITS[image_set])
-        )
+        split_dir = os.path.join(root, self.SPLITS[image_set])
+        classes = sorted({
+            d
+            for split in set(self.SPLITS.values())
+            if os.path.isdir(os.path.join(root, split))
+            for d in os.listdir(os.path.join(root, split))
+            if os.path.isdir(os.path.join(root, split, d))
+        })
+        raw, split_classes = _scan_folder(split_dir)
+        idx = {c: i for i, c in enumerate(classes)}
+        samples = [(p, idx[split_classes[lbl]]) for p, lbl in raw]
         super().__init__(samples, classes, transform)
 
 

@@ -78,9 +78,13 @@ def build_zeroshot_classifier(model: MSClipModel, params, tokenizer,
     return class_embeds.T  # [E, C]
 
 
-def make_dataset(config, transform=None):
+def make_dataset(config, transform=None, image_set: str = "test"):
     """Dataset factory mirroring the reference's dispatch
-    (tools/zero_shot.py:208-217) plus a synthetic fallback for CI."""
+    (tools/zero_shot.py:208-217) plus a synthetic fallback for CI.
+
+    ``image_set``: ``"test"`` (default, the eval split each dataset's
+    protocol prescribes) or ``"train"`` (for linear-probe feature
+    extraction)."""
     import functools
     import os
 
@@ -110,21 +114,31 @@ def make_dataset(config, transform=None):
     from ..data.probe_datasets import PROBE_DATASETS, build_probe_dataset
 
     if name in PROBE_DATASETS:
-        return build_probe_dataset(name, root, "test", transform=transform)
+        return build_probe_dataset(name, root, image_set,
+                                   transform=transform)
     if name == "voc2007classification":
-        return Voc2007Classification(root, image_set="test",
+        return Voc2007Classification(root, image_set=image_set,
                                      transform=transform)
     if name == "hatefulmemes":
-        return HatefulMemes(root, image_set="val", transform=transform)
+        # its labeled eval split is 'val' (reference dataset.py:72-116)
+        split = "val" if image_set == "test" else image_set
+        return HatefulMemes(root, image_set=split, transform=transform)
     if name == "chestxray8":
-        return ChestXRay8(root, image_set="test", transform=transform)
+        return ChestXRay8(root, image_set=image_set, transform=transform)
     if name == "synthetic":
         return SyntheticImageDataset(
             n=config.DATASET.get("NUM_SAMPLES", 256),
             size=config.TEST.IMAGE_SIZE[0],
             n_classes=config.DATASET.get("NUM_CLASSES", 1000),
+            # test split keeps the historical seed 0; train gets
+            # disjoint samples for probe feature extraction
+            seed=10_000 if image_set == "train" else 0,
         )
-    folder = os.path.join(root, config.DATASET.TEST_SET)
+    folder = os.path.join(
+        root,
+        config.DATASET.TRAIN_SET if image_set == "train"
+        else config.DATASET.TEST_SET,
+    )
     if use_native:
         return ImageFolderDataset(
             folder, native=True,

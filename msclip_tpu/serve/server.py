@@ -113,9 +113,14 @@ class InferenceServer:
         feats = self._image_batcher(crop)
         return {"embedding": feats.tolist(), "dim": self.model.embed_dim}
 
-    def _embed_text(self, body: bytes) -> dict:
-        req = json.loads(body)
+    def _parse_and_tokenize(self, req: dict):
+        """Shared texts parsing for /v1/embed/text and /v1/rank: returns
+        ``(texts, tokens [N, T] int32)``; raises ValueError (-> 400) on a
+        malformed texts field."""
         texts = req.get("texts") or [req["text"]]
+        if (not isinstance(texts, list) or not texts
+                or not all(isinstance(t, str) for t in texts)):
+            raise ValueError("texts must be a non-empty list of strings")
         if self._tokenizer is None:
             from ..data.tokenizer import ClipTokenizer
 
@@ -123,6 +128,10 @@ class InferenceServer:
         tokens = self._tokenizer.tokenize(
             texts, context_length=self.model.context_length
         ).astype(np.int32)
+        return texts, tokens
+
+    def _embed_text(self, body: bytes) -> dict:
+        _, tokens = self._parse_and_tokenize(json.loads(body))
         futs = [self._text_batcher.submit(t) for t in tokens]
         embs = [f.result().tolist() for f in futs]
         return {"embeddings": embs, "dim": self.model.embed_dim}
@@ -135,19 +144,10 @@ class InferenceServer:
         import base64
 
         req = json.loads(body)
-        texts = req.get("texts") or [req["text"]]
-        if not isinstance(texts, list) or not texts:
-            raise ValueError("texts must be a non-empty list")
+        texts, tokens = self._parse_and_tokenize(req)
         image = base64.b64decode(req["image"])
         crop = _decode_image(image, req.get("content_type", ""),
                              self.model.image_size)
-        if self._tokenizer is None:
-            from ..data.tokenizer import ClipTokenizer
-
-            self._tokenizer = ClipTokenizer()
-        tokens = self._tokenizer.tokenize(
-            texts, context_length=self.model.context_length
-        ).astype(np.int32)
         img_fut = self._image_batcher.submit(crop)
         txt_futs = [self._text_batcher.submit(t) for t in tokens]
         feat = img_fut.result()
