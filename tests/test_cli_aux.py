@@ -321,3 +321,36 @@ def test_linear_probe_cli_transfer_suite(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "no prompt set for 'eurosat'" in r.stdout + r.stderr
     assert "RESULT eurosat accuracy=" in r.stdout
+
+
+def test_eval_zeroshot_dispatcher(tmp_path):
+    """tools/eval_zeroshot.py (SURVEY #1): registered-name lookup from
+    experiments/dataset/, subprocess-per-dataset dispatch, opts
+    forwarding — end to end on a eurosat fixture via the auto-registered
+    'eurosat' name."""
+    from PIL import Image
+
+    rng = np.random.default_rng(9)
+    for cls in ("Forest", "River"):
+        d = tmp_path / "eurosat" / "2750" / cls
+        d.mkdir(parents=True)
+        for i in range(8):
+            Image.fromarray(
+                (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+            ).save(d / f"{cls}_{i}.jpg")
+    r = _run([
+        "tools/eval_zeroshot.py",
+        "--ds", "eurosat",
+        "--model", "experiments/model/b32.yaml",
+        "DATASET.ROOT", str(tmp_path / "eurosat"),
+        "DATASET.NUM_CLASSES", "2",
+        "OUTPUT_DIR", str(tmp_path / "out"),
+    ] + TINY_OPTS)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "RESULT eurosat accuracy=" in r.stdout
+
+    # unknown names fail loudly with the registry listing
+    r = _run(["tools/eval_zeroshot.py", "--ds", "nope",
+              "--model", "experiments/model/b32.yaml"])
+    assert r.returncode != 0
+    assert "unknown dataset" in r.stderr

@@ -16,8 +16,13 @@ import sys
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# name -> config path, auto-registered from experiments/dataset/*.yaml
+# (the reference's literal table, tools/eval_zeroshot.py:5-7, scaled to
+# the full suite; --ds also accepts explicit YAML paths)
+_DS_DIR = os.path.join(REPO_ROOT, "experiments", "dataset")
 cfg_files_dataset = {
-    "imagenet": os.path.join(REPO_ROOT, "experiments/dataset/imagenet.yaml"),
+    os.path.splitext(f)[0]: os.path.join(_DS_DIR, f)
+    for f in sorted(os.listdir(_DS_DIR)) if f.endswith(".yaml")
 }
 
 

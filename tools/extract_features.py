@@ -30,6 +30,9 @@ def main():
     p.add_argument("--ds", required=True)
     p.add_argument("--model", required=True)
     p.add_argument("--out", default="features.npz")
+    p.add_argument("--image-set", default="test", choices=["train", "test"],
+                   help="dataset split to featurize (probe protocols need "
+                        "both)")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = p.parse_args()
 
@@ -40,7 +43,7 @@ def main():
 
     model = build_model(config)
     params = load_model_params(config, model)
-    dataset = make_dataset(config)
+    dataset = make_dataset(config, image_set=args.image_set)
     feats, labels = extract_features(
         model, params, dataset,
         batch_size=config.TEST.BATCH_SIZE_PER_GPU, workers=config.WORKERS,
