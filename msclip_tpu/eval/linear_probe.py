@@ -52,8 +52,43 @@ def extract_features(model: MSClipModel, params, dataset, batch_size=256,
 
 
 def fit_linear_probe_sklearn(train_x, train_y, test_x, test_y,
-                             C: float = 3.16, max_iter: int = 1000):
+                             C: float = 3.16, max_iter: int = 1000,
+                             sweep_c: bool = False, seed: int = 0):
+    """Logistic-regression probe. With ``sweep_c`` (the CLIP-paper
+    protocol, arXiv 2103.00020 A.3): hold out 10% of train as
+    validation, run a coarse log-spaced sweep over C in [1e-6, 1e6]
+    followed by iterative halving around the peak (~12 fits total),
+    then refit on the full train split with the winner."""
     from sklearn.linear_model import LogisticRegression
+
+    def fit_score(c, x, y, vx, vy):
+        clf = LogisticRegression(C=c, max_iter=max_iter, verbose=0)
+        clf.fit(x, y)
+        return clf.score(vx, vy)
+
+    if sweep_c:
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(train_x))
+        n_val = max(1, len(order) // 10)
+        va, tr = order[:n_val], order[n_val:]
+        tx_, ty_ = train_x[tr], train_y[tr]
+        vx_, vy_ = train_x[va], train_y[va]
+        # coarse grid in log10(C), then 3 halving refinements
+        grid = [-6.0, -4.0, -2.0, 0.0, 2.0, 4.0, 6.0]
+        scores = {g: fit_score(10.0 ** g, tx_, ty_, vx_, vy_)
+                  for g in grid}
+        span = 2.0
+        for _ in range(3):
+            best = max(scores, key=lambda g: (scores[g], -abs(g)))
+            span /= 2.0
+            for g in (best - span, best + span):
+                if g not in scores:
+                    scores[g] = fit_score(10.0 ** g, tx_, ty_, vx_, vy_)
+        best = max(scores, key=lambda g: (scores[g], -abs(g)))
+        C = 10.0 ** best
+        logging.info(f"=> C sweep: best C={C:.4g} "
+                     f"(val acc {100 * scores[best]:.2f}%, "
+                     f"{len(scores)} fits)")
 
     clf = LogisticRegression(C=C, max_iter=max_iter, verbose=0)
     clf.fit(train_x, train_y)

@@ -165,3 +165,23 @@ def test_run_retrieval_identity():
         n=2, size=32, n_classes=2), ["a", "b"], [0, 1],
         batch_size=8, workers=1)
     assert set(out2["i2t"]) == {1, 5, 10}
+
+
+def test_linear_probe_c_sweep():
+    """CLIP-protocol C sweep: on nearly-separable features where heavy
+    regularization hurts, the sweep must find a C that matches or beats
+    the tiny fixed C and the reported accuracy must be the full-train
+    refit score."""
+    from msclip_tpu.eval.linear_probe import fit_linear_probe_sklearn
+
+    rng = np.random.default_rng(0)
+    n, d = 240, 8
+    centers = rng.standard_normal((3, d)) * 3.0
+    y = rng.integers(0, 3, n)
+    x = centers[y] + rng.standard_normal((n, d))
+    xt = centers[y[:60]] + rng.standard_normal((60, d))
+
+    acc_tiny_c = fit_linear_probe_sklearn(x, y, xt, y[:60], C=1e-6)
+    acc_sweep = fit_linear_probe_sklearn(x, y, xt, y[:60], sweep_c=True)
+    assert acc_sweep >= acc_tiny_c - 1e-9
+    assert 0.0 <= acc_sweep <= 100.0

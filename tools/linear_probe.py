@@ -2,7 +2,7 @@
 column; runner absent from the release, protocol per the CLIP paper).
 
     python tools/linear_probe.py --ds <dataset.yaml> --model <model.yaml> \
-        [--probe sklearn|jax] [opts]
+        [--probe sklearn|jax] [--sweep-c] [opts]
 """
 
 import argparse
@@ -23,6 +23,10 @@ def parse_args():
     p.add_argument("--ds", required=True)
     p.add_argument("--model", required=True)
     p.add_argument("--probe", default="sklearn", choices=["sklearn", "jax"])
+    p.add_argument("--sweep-c", action="store_true",
+                   help="CLIP-paper protocol: validation sweep over the "
+                        "regularization constant before the final fit "
+                        "(sklearn probe only)")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -45,7 +49,10 @@ def main():
     train_ds = make_dataset(config, image_set="train")
     test_ds = make_dataset(config, image_set="test")
 
-    acc = run_linear_probe(config, train_ds, test_ds, probe=args.probe)
+    probe_kw = {"sweep_c": True} if (args.sweep_c
+                                     and args.probe == "sklearn") else {}
+    acc = run_linear_probe(config, train_ds, test_ds, probe=args.probe,
+                           **probe_kw)
     print(f"RESULT {name} linear_probe={acc:.3f}")
     return acc
 
