@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import ast
 import copy
-from typing import Any, Iterable, List, Optional
+from typing import Any, Iterable, Optional
 
 import yaml
 

@@ -36,7 +36,7 @@ import io
 import os
 import tarfile
 import threading
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

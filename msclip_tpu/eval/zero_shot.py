@@ -17,7 +17,6 @@ from __future__ import annotations
 import logging
 import os
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp

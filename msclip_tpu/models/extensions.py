@@ -21,7 +21,7 @@ layers; ``ExtSpec`` carries the static config.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax

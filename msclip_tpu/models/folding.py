@@ -14,7 +14,6 @@ structure: a stem without ``bn1`` is folded.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def fold_conv_bn(conv_w, bn, eps=1e-5):

@@ -10,7 +10,6 @@ attention maps. Jit-compatible (fixed-size outputs).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -48,8 +47,6 @@ def encode_image_with_taps(params, spec: MSClipSpec, images,
                            raw_attn: bool = False):
     """Returns (features, taps) where taps = {'layer_features': [n_blocks,
     B, L, W], 'attn_maps': [n_blocks, B, H, L, L]}."""
-    from .msclip import encode_image  # for the ResNet path fallback
-
     if spec.vision_resnet_layers:
         raise NotImplementedError("taps are for the transformer tower")
 

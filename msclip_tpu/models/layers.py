@@ -26,7 +26,6 @@ production). Weight layout is JAX-native: linear weights are ``[in, out]``
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

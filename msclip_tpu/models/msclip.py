@@ -20,7 +20,7 @@ configurable compute dtype (bf16 in production).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax

@@ -10,7 +10,6 @@ attention/MLP weights. XLA inserts all collectives.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np

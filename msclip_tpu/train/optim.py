@@ -15,7 +15,6 @@ never by gradients.
 
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

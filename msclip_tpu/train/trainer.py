@@ -18,7 +18,6 @@ online-logsumexp form.
 from __future__ import annotations
 
 import functools
-import logging
 from typing import Any, NamedTuple, Optional
 
 import jax

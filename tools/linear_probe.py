@@ -6,7 +6,6 @@ column; runner absent from the release, protocol per the CLIP paper).
 """
 
 import argparse
-import logging
 import os
 import sys
 
