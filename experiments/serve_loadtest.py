@@ -3,7 +3,8 @@ clients and report throughput, latency percentiles, and the dynamic
 batcher's achieved coalescing.
 
     python experiments/serve_loadtest.py [n_clients] [n_requests] \
-        [--model b32-yfcc-msclips] [--buckets 1,8,32] [--wait-ms 5]
+        [--model b32-yfcc-msclips] [--buckets 1,8,32] [--wait-ms 5] \
+        [--live]   # live multi-chip mode instead of an AOT bundle
 
 Builds a random-init bundle for the given model config in a temp dir
 (geometry is what matters for throughput), starts the server in-process,
@@ -45,7 +46,11 @@ def main():
 
     from msclip_tpu.config import get_default_config, update_config
     from msclip_tpu.models import MSClipModel, spec_from_config
-    from msclip_tpu.serve import export_bundle, load_bundle
+    from msclip_tpu.serve import (
+        export_bundle,
+        live_serving_model,
+        load_bundle,
+    )
     from msclip_tpu.serve.server import InferenceServer
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -66,11 +71,19 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
 
     with tempfile.TemporaryDirectory() as td:
-        print(f"=> exporting bundle (buckets {buckets}) ...",
-              file=sys.stderr)
-        export_bundle(model, params, td, buckets=buckets,
-                      image_size=cfg.TEST.IMAGE_SIZE[0])
-        served = load_bundle(td)
+        if "live" in opts:
+            print(f"=> live model over {jax.local_device_count()} "
+                  f"device(s) (buckets {buckets}) ...", file=sys.stderr)
+            served = live_serving_model(
+                model, params, buckets=buckets,
+                image_size=cfg.TEST.IMAGE_SIZE[0],
+            )
+        else:
+            print(f"=> exporting bundle (buckets {buckets}) ...",
+                  file=sys.stderr)
+            export_bundle(model, params, td, buckets=buckets,
+                          image_size=cfg.TEST.IMAGE_SIZE[0])
+            served = load_bundle(td)
         size = served.image_size
         for b in served.buckets:  # warm every bucket
             served.encode_image(np.zeros((b, size, size, 3), np.uint8))
@@ -125,7 +138,8 @@ def main():
             "p50_ms": round(1000 * lat[len(lat) // 2], 1),
             "p99_ms": round(1000 * lat[int(len(lat) * 0.99)], 1),
             "wait_ms": wait_ms,
-            "buckets": buckets,
+            "buckets": served.buckets,
+            "live": "live" in opts,
         }
         server.close()
         print(json.dumps(out))
