@@ -185,3 +185,74 @@ def test_linear_probe_c_sweep():
     acc_sweep = fit_linear_probe_sklearn(x, y, xt, y[:60], sweep_c=True)
     assert acc_sweep >= acc_tiny_c - 1e-9
     assert 0.0 <= acc_sweep <= 100.0
+
+
+def test_make_dataset_image_set_routing(tmp_path):
+    """make_dataset(image_set=...) routes every branch to the right
+    split: ImageFolder TRAIN_SET/TEST_SET dirs, hatefulmemes test->val
+    mapping, synthetic disjoint seeds, probe-registry forwarding."""
+    from PIL import Image
+
+    from msclip_tpu.config import get_default_config
+    from msclip_tpu.eval.zero_shot import make_dataset
+
+    cfg = get_default_config()
+    cfg.TEST.IMAGE_SIZE = [32, 32]
+    cfg.TRAIN.IMAGE_SIZE = [32, 32]
+
+    # ImageFolder: distinct TRAIN_SET/TEST_SET subdirs
+    rng = np.random.default_rng(0)
+    for split, n in (("tr", 3), ("va", 2)):
+        d = tmp_path / "folder" / split / "classA"
+        d.mkdir(parents=True)
+        for i in range(n):
+            Image.fromarray(
+                (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+            ).save(d / f"{i}.jpg")
+    cfg.DATASET.DATASET = "imagefolder"
+    cfg.DATASET.ROOT = str(tmp_path / "folder")
+    cfg.DATASET.TRAIN_SET = "tr"
+    cfg.DATASET.TEST_SET = "va"
+    assert len(make_dataset(cfg, image_set="train")) == 3
+    assert len(make_dataset(cfg, image_set="test")) == 2
+
+    # synthetic: train/test draw disjoint seeds, test keeps seed 0
+    cfg.DATASET.DATASET = "synthetic"
+    ds_tr = make_dataset(cfg, image_set="train")
+    ds_te = make_dataset(cfg, image_set="test")
+    assert ds_te._rng_seed == 0 and ds_tr._rng_seed == 10_000
+
+    # probe registry: image_set forwarded (eurosat hash split)
+    for cls in ("Forest", "River"):
+        d = tmp_path / "es" / "2750" / cls
+        d.mkdir(parents=True)
+        for i in range(10):
+            Image.fromarray(
+                (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+            ).save(d / f"{cls}_{i}.jpg")
+    cfg.DATASET.DATASET = "eurosat"
+    cfg.DATASET.ROOT = str(tmp_path / "es")
+    n_tr = len(make_dataset(cfg, image_set="train"))
+    n_te = len(make_dataset(cfg, image_set="test"))
+    assert n_tr + n_te == 20 and n_tr > 0 and n_te > 0
+
+    # hatefulmemes: 'test' maps to the labeled dev split (val)
+    import json as _json
+
+    root = tmp_path / "hm"
+    (root / "img").mkdir(parents=True)
+    for split, fname, n in (("train", "train.jsonl", 2),
+                            ("val", "dev_seen.jsonl", 1)):
+        recs = []
+        for i in range(n):
+            img = f"img/{split}_{i}.png"
+            Image.fromarray(
+                (rng.random((20, 20, 3)) * 255).astype(np.uint8)
+            ).save(root / img)
+            recs.append({"img": img, "text": "t", "label": i % 2})
+        (root / fname).write_text(
+            "\n".join(_json.dumps(r) for r in recs))
+    cfg.DATASET.DATASET = "hatefulmemes"
+    cfg.DATASET.ROOT = str(root)
+    assert len(make_dataset(cfg, image_set="train")) == 2
+    assert len(make_dataset(cfg, image_set="test")) == 1
