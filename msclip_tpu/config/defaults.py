@@ -196,6 +196,10 @@ def get_default_config() -> CfgNode:
     c.TPU.RING_LOSS = False           # ring-rotated InfoNCE (O(b*E)/chip
     #                                   embeddings at any global batch;
     #                                   needs SHARDED_LOSS)
+    c.TPU.ACCUM_STEPS = 1             # >1: GradCache two-pass gradient
+    #                                   accumulation (activation memory
+    #                                   ~1/N at one extra forward; exact
+    #                                   InfoNCE over the full batch)
     c.TPU.REMAT = False               # jax.checkpoint on trunk blocks
     c.TPU.ZERO1 = False               # shard optimizer state over 'data'
                                       # (TPU-native DeepSpeed ZeRO stage 1)

@@ -70,10 +70,8 @@ def _copy_containers(tree):
     return tree
 
 
-def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096,
-                 label_smoothing=0.0, ring_loss=False,
-                 freeze_bn: bool = False):
-    """loss_fn(params, images, tokens, rng) -> (loss, bn_updates).
+def make_encode_fn(spec, freeze_bn: bool = False):
+    """encode(params, images, tokens, rng) -> (fi, ft, bn_updates).
 
     ``rng`` drives the stochastic training-time paths: DropPath in the
     image tower and the Gumbel NAS action when GUMBEL_SELECT.
@@ -95,18 +93,19 @@ def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096,
         ft = MM.encode_text(params, spec, tokens, action=action)
         return fi, ft, bn.updates
 
+    return encode
+
+
+def make_embedding_loss(mesh=None, sharded_loss=False, loss_chunk=4096,
+                        label_smoothing=0.0, ring_loss=False):
+    """emb_loss(fi, ft, logit_scale) -> scalar — the InfoNCE family over
+    already-computed embeddings (the boundary GradCache accumulation
+    caches at)."""
     if not sharded_loss:
-
-        def loss_fn(params, images, tokens, rng=None):
-            fi, ft, bn_updates = encode(params, images, tokens, rng)
-            loss = infonce_loss(fi, ft, params["logit_scale"],
-                                label_smoothing=label_smoothing)
-            return loss, bn_updates
-
-        return loss_fn
+        return functools.partial(infonce_loss,
+                                 label_smoothing=label_smoothing)
 
     assert mesh is not None
-
     if ring_loss:
         # TPU.RING_LOSS: ring-rotated shards — O(b·E)/chip embedding
         # memory at any global batch (the beyond-32k configuration)
@@ -121,41 +120,140 @@ def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096,
             chunked_sharded_infonce_loss, axis_name=DATA_AXIS,
             chunk=loss_chunk, label_smoothing=label_smoothing,
         )
+    return shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=P(),
+    )
+
+
+def make_loss_fn(spec, mesh=None, sharded_loss=False, loss_chunk=4096,
+                 label_smoothing=0.0, ring_loss=False,
+                 freeze_bn: bool = False):
+    """loss_fn(params, images, tokens, rng) -> (loss, bn_updates)."""
+    encode = make_encode_fn(spec, freeze_bn)
+    emb_loss = make_embedding_loss(mesh, sharded_loss, loss_chunk,
+                                   label_smoothing, ring_loss)
 
     def loss_fn(params, images, tokens, rng=None):
         fi, ft, bn_updates = encode(params, images, tokens, rng)
-        sharded = shard_map(
-            inner,
-            mesh=mesh,
-            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
-            out_specs=P(),
-        )
-        loss = sharded(fi, ft, params["logit_scale"])
+        loss = emb_loss(fi, ft, params["logit_scale"])
         return loss, bn_updates
 
     return loss_fn
 
 
+def _gradcache_value_and_grad(encode, emb_loss, accum_steps, mesh=None):
+    """GradCache two-pass gradient for the contrastive loss (Gao et al.
+    2021, arXiv 2101.06983): InfoNCE couples the WHOLE batch, so naive
+    microbatch accumulation is impossible. Instead:
+
+      pass A  lax.scan over microbatches: embeddings only (no grads —
+              peak activation memory is one microbatch);
+      loss    full-batch InfoNCE on the cached [B, E] embeddings;
+              grads w.r.t. embeddings + logit_scale (tiny);
+      pass B  lax.scan again: re-encode each microbatch under jax.vjp
+              and pull back its cached embedding gradient, summing
+              parameter grads.
+
+    Gradients equal the one-shot step exactly when BatchNorm is frozen
+    and drop-path is off. With training-mode BN, normalization uses
+    per-microbatch statistics (the reference's per-GPU DDP BN semantics
+    rather than our one-shot step's global-batch statistics); the
+    recorded running-stat updates are averaged over microbatches — one
+    momentum update from the mean of the microbatch statistics. Costs
+    one extra forward pass; peak activation memory drops ~accum_steps×.
+    """
+
+    def value_and_grad(params, images, tokens, rng):
+        a = accum_steps
+        b = images.shape[0] // a
+        assert images.shape[0] % a == 0, (
+            f"batch {images.shape[0]} not divisible by "
+            f"ACCUM_STEPS={a}")
+        im = images.reshape(a, b, *images.shape[1:])
+        tk = tokens.reshape(a, b, *tokens.shape[1:])
+        if mesh is not None:
+            micro_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+            im = jax.lax.with_sharding_constraint(im, micro_sh)
+            tk = jax.lax.with_sharding_constraint(tk, micro_sh)
+
+        def mrng(i):
+            return None if rng is None else jax.random.fold_in(rng, i)
+
+        def fwd(_, mt):
+            imgs_i, toks_i, i = mt
+            fi, ft, bn_updates = encode(params, imgs_i, toks_i, mrng(i))
+            return None, (fi, ft, bn_updates)
+
+        _, (fis, fts, bn_stack) = jax.lax.scan(
+            fwd, None, (im, tk, jnp.arange(a)))
+        fi = fis.reshape(a * b, -1)
+        ft = fts.reshape(a * b, -1)
+        # one momentum update from the mean of microbatch statistics
+        bn_updates = jax.tree.map(lambda s: s.mean(axis=0), bn_stack)
+
+        loss, (d_fi, d_ft, d_ls) = jax.value_and_grad(
+            emb_loss, argnums=(0, 1, 2)
+        )(fi, ft, params["logit_scale"])
+
+        d_fis = d_fi.reshape(a, b, -1)
+        d_fts = d_ft.reshape(a, b, -1)
+
+        def bwd(acc, mt):
+            imgs_i, toks_i, dfi_i, dft_i, i = mt
+
+            def enc_p(p):
+                fi_i, ft_i, _ = encode(p, imgs_i, toks_i, mrng(i))
+                return fi_i, ft_i
+
+            _, vjp = jax.vjp(enc_p, params)
+            (g,) = vjp((dfi_i, dft_i))
+            return jax.tree.map(jnp.add, acc, g), None
+
+        zero = jax.tree.map(jnp.zeros_like, params)
+        grads, _ = jax.lax.scan(
+            bwd, zero, (im, tk, d_fis, d_fts, jnp.arange(a)))
+        grads = {**grads,
+                 "logit_scale": grads["logit_scale"] + d_ls}
+        return (loss, bn_updates), grads
+
+    return value_and_grad
+
+
 def make_step_core(spec, tx, mesh=None, sharded_loss=False,
                    loss_chunk=4096, ema_decay: float = 0.0,
                    label_smoothing: float = 0.0, seed: int = 0,
-                   ring_loss: bool = False, freeze_bn: bool = False):
+                   ring_loss: bool = False, freeze_bn: bool = False,
+                   accum_steps: int = 1):
     """The raw (un-jitted) train step: value_and_grad + optimizer + BN
     replay + EMA. Exposed separately so harnesses (bench.py,
     experiments/profile_train.py) can chain K steps inside one jit/scan —
     over a remote tunnel the per-dispatch RTT would otherwise swamp the
-    measurement."""
+    measurement.
+
+    ``accum_steps`` (``TPU.ACCUM_STEPS``): GradCache two-pass gradient
+    accumulation — see :func:`_gradcache_value_and_grad`."""
     loss_fn = make_loss_fn(spec, mesh, sharded_loss, loss_chunk,
                            label_smoothing, ring_loss=ring_loss,
                            freeze_bn=freeze_bn)
+    if accum_steps > 1:
+        vag = _gradcache_value_and_grad(
+            make_encode_fn(spec, freeze_bn),
+            make_embedding_loss(mesh, sharded_loss, loss_chunk,
+                                label_smoothing, ring_loss),
+            accum_steps, mesh=mesh,
+        )
+    else:
+        vag = jax.value_and_grad(loss_fn, has_aux=True)
     needs_rng = spec.vision_drop_path > 0.0 or spec.ext.gumbel_select
 
     def step_fn(state: TrainState, images, tokens):
         rng = (jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
                if needs_rng else None)
-        (loss, bn_updates), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, images, tokens, rng)
+        (loss, bn_updates), grads = vag(
+            state.params, images, tokens, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         params = apply_bn_updates(params, bn_updates)
@@ -179,7 +277,8 @@ def make_train_step(spec, tx, mesh=None, sharded_loss=False,
                     loss_chunk=4096, ema_decay: float = 0.0,
                     donate: bool = True, label_smoothing: float = 0.0,
                     seed: int = 0, opt_shardings=None,
-                    ring_loss: bool = False, freeze_bn: bool = False):
+                    ring_loss: bool = False, freeze_bn: bool = False,
+                    accum_steps: int = 1):
     """Build the jit-compiled train step.
 
     step(state, images, tokens) -> (state, metrics). The step derives a
@@ -197,7 +296,7 @@ def make_train_step(spec, tx, mesh=None, sharded_loss=False,
         spec, tx, mesh=mesh, sharded_loss=sharded_loss,
         loss_chunk=loss_chunk, ema_decay=ema_decay,
         label_smoothing=label_smoothing, seed=seed, ring_loss=ring_loss,
-        freeze_bn=freeze_bn,
+        freeze_bn=freeze_bn, accum_steps=accum_steps,
     )
 
     if mesh is None:

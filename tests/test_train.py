@@ -544,3 +544,81 @@ def test_loader_num_batches_matches_len():
                     yielded = sum(1 for _ in loader)
                     assert loader.num_batches == yielded, (
                         sampler, world, rank, drop)
+
+
+def test_gradcache_accum_matches_oneshot():
+    """TPU.ACCUM_STEPS (GradCache two-pass): with frozen BN the
+    accumulated step must reproduce the one-shot step exactly — same
+    loss, same grads, same updated params — because InfoNCE is computed
+    over the full batch from cached embeddings."""
+    spec = tiny_msclips_spec()
+    model = MSClipModel(spec)
+    cfg = _cfg()
+    params = model.init(jax.random.PRNGKey(2))
+    tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=10)
+    images, tokens = _batch(spec, b=8, seed=5)
+
+    state_a = init_train_state(model, tx, params=params)
+    step_a = make_train_step(spec, tx, freeze_bn=True, donate=False)
+    state_a, m_a = step_a(state_a, images, tokens)
+
+    state_b = init_train_state(model, tx, params=params)
+    step_b = make_train_step(spec, tx, freeze_bn=True, donate=False,
+                             accum_steps=4)
+    state_b, m_b = step_b(state_b, images, tokens)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_a["grad_norm"]),
+                               float(m_b["grad_norm"]), rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
+
+
+def test_gradcache_accum_bn_training_and_mesh():
+    """Accumulation with training-mode BN (per-microbatch statistics,
+    averaged running-stat update) descends and moves BN stats; and the
+    mesh + sharded-loss + accum combination matches the mesh one-shot
+    step when BN is frozen."""
+    from msclip_tpu.parallel import create_mesh
+
+    spec = tiny_msclips_spec()
+    model = MSClipModel(spec)
+    cfg = _cfg()
+    params = model.init(jax.random.PRNGKey(3))
+    tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=10)
+    images, tokens = _batch(spec, b=8, seed=7)
+
+    # training BN: runs, descends, stats move
+    state = init_train_state(model, tx, params=params)
+    step = make_train_step(spec, tx, accum_steps=2, donate=False)
+    bn_before = np.asarray(state.params["visual"]["stem"]["bn1"]["mean"])
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, images, tokens)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    bn_after = np.asarray(state.params["visual"]["stem"]["bn1"]["mean"])
+    assert np.abs(bn_after - bn_before).max() > 1e-6
+
+    # mesh path equivalence (frozen BN for exactness)
+    mesh = create_mesh(data=8, model=1)
+    images, tokens = _batch(spec, b=16, seed=8)
+    state_a = init_train_state(model, tx, params=params)
+    step_a = make_train_step(spec, tx, mesh=mesh, sharded_loss=True,
+                             loss_chunk=8, freeze_bn=True, donate=False)
+    state_a, m_a = step_a(state_a, images, tokens)
+
+    state_b = init_train_state(model, tx, params=params)
+    step_b = make_train_step(spec, tx, mesh=mesh, sharded_loss=True,
+                             loss_chunk=8, freeze_bn=True, donate=False,
+                             accum_steps=2)
+    state_b, m_b = step_b(state_b, images, tokens)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5)

@@ -142,6 +142,7 @@ def main():
             seed=config.TPU.SEED,
             opt_shardings=opt_shardings,
             freeze_bn=freeze_bn,
+            accum_steps=int(config.TPU.get("ACCUM_STEPS", 1)),
         )
 
     step_fn = _make_step()
