@@ -143,7 +143,11 @@ def _bench_train(model_yaml: str, batch: int, n_iters: int) -> float:
     params = model.init(jax.random.PRNGKey(0))
     tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=1000)
     state = init_train_state(model, tx, params=params)
-    step = make_step_core(spec, tx)
+    # BENCH_ACCUM=N: GradCache two-pass accumulation (TPU.ACCUM_STEPS) —
+    # measures the throughput cost of the ~1/N-activation-memory mode
+    step = make_step_core(
+        spec, tx, accum_steps=int(os.environ.get("BENCH_ACCUM", "1"))
+    )
 
     images = jax.random.normal(
         jax.random.PRNGKey(1), (batch, 224, 224, 3), jnp.bfloat16
