@@ -75,15 +75,20 @@ def make_encode_fn(spec, freeze_bn: bool = False):
 
     ``rng`` drives the stochastic training-time paths: DropPath in the
     image tower and the Gumbel NAS action when GUMBEL_SELECT.
+    ``action_rng`` overrides the Gumbel action's key derivation — the
+    GradCache path passes the one-shot step's ``fold_in(rng, 1)`` so all
+    microbatches share a single sampled architecture per step.
     ``freeze_bn`` (``SWA.FROZEN_BN``): run BatchNorm in eval mode — fold
     the running stats, record no updates.
     """
 
-    def encode(params, images, tokens, rng):
+    def encode(params, images, tokens, rng, action_rng=None):
         bn = BNState(training=not freeze_bn)
         action = None
         if spec.ext.gumbel_select:
-            action_rng = None if rng is None else jax.random.fold_in(rng, 1)
+            if action_rng is None:
+                action_rng = (None if rng is None
+                              else jax.random.fold_in(rng, 1))
             action = MM.gumbel_action(params["gumbel_logit"], action_rng)
         dp_rng = None
         if rng is not None and spec.vision_drop_path > 0.0:
@@ -157,40 +162,72 @@ def _gradcache_value_and_grad(encode, emb_loss, accum_steps, mesh=None):
               and pull back its cached embedding gradient, summing
               parameter grads.
 
-    Gradients equal the one-shot step exactly when BatchNorm is frozen
-    and drop-path is off. With training-mode BN, normalization uses
-    per-microbatch statistics (the reference's per-GPU DDP BN semantics
-    rather than our one-shot step's global-batch statistics); the
-    recorded running-stat updates are averaged over microbatches — one
-    momentum update from the mean of the microbatch statistics. Costs
-    one extra forward pass; peak activation memory drops ~accum_steps×.
+    Gradients match the one-shot step (up to float reassociation from
+    the scanned schedule — tested to atol 2e-5 on params) when BatchNorm
+    is frozen and drop-path is off; the Gumbel NAS action, when enabled,
+    is sampled ONCE per step from the one-shot step's key derivation, so
+    GUMBEL_SELECT keeps one-shot semantics too. With training-mode BN,
+    normalization uses per-microbatch statistics (the reference's
+    per-GPU DDP BN semantics rather than our one-shot step's
+    global-batch statistics); the recorded running-stat updates are
+    averaged over microbatches — one momentum update from the mean of
+    the microbatch statistics. Costs one extra forward pass; peak
+    activation memory drops ~accum_steps×.
+
+    Mesh path: the batch arrives sharded ``P(data)`` in contiguous
+    per-chip stripes, so microbatches are taken INTERLEAVED — microbatch
+    ``i`` is every chip's ``i``-th local sub-block, which makes the
+    (a, B/a) microbatch layout a chip-local reshape (zero ICI traffic)
+    where contiguous B/a blocks would all-to-all the full image tensor
+    every step. The inverse reshape restores the ORIGINAL row order, so
+    the cached [B, E] embeddings feed the sharded loss bit-identically
+    to the one-shot step.
     """
+
+    d = 1 if mesh is None else mesh.shape[DATA_AXIS]
+
+    def to_micro(x, a):
+        # (B, ...) P(data) -> (a, B/a, ...): chip-local everywhere.
+        m = x.shape[0] // (d * a)
+        y = x.reshape(d, a, m, *x.shape[1:])
+        return jnp.moveaxis(y, 1, 0).reshape(a, d * m, *x.shape[1:])
+
+    def from_micro(y):
+        # inverse of to_micro: (a, B/a, ...) -> (B, ...) original order.
+        a, b = y.shape[:2]
+        x = y.reshape(a, d, b // d, *y.shape[2:])
+        return jnp.moveaxis(x, 1, 0).reshape(a * b, *y.shape[2:])
 
     def value_and_grad(params, images, tokens, rng):
         a = accum_steps
         b = images.shape[0] // a
-        assert images.shape[0] % a == 0, (
+        assert images.shape[0] % (a * d) == 0, (
             f"batch {images.shape[0]} not divisible by "
-            f"ACCUM_STEPS={a}")
-        im = images.reshape(a, b, *images.shape[1:])
-        tk = tokens.reshape(a, b, *tokens.shape[1:])
+            f"ACCUM_STEPS={a} x data-axis {d}")
+        im = to_micro(images, a)
+        tk = to_micro(tokens, a)
         if mesh is not None:
             micro_sh = NamedSharding(mesh, P(None, DATA_AXIS))
             im = jax.lax.with_sharding_constraint(im, micro_sh)
             tk = jax.lax.with_sharding_constraint(tk, micro_sh)
+
+        # one Gumbel action per STEP (the one-shot step's derivation);
+        # per-microbatch keys drive only drop-path
+        arng = None if rng is None else jax.random.fold_in(rng, 1)
 
         def mrng(i):
             return None if rng is None else jax.random.fold_in(rng, i)
 
         def fwd(_, mt):
             imgs_i, toks_i, i = mt
-            fi, ft, bn_updates = encode(params, imgs_i, toks_i, mrng(i))
+            fi, ft, bn_updates = encode(params, imgs_i, toks_i, mrng(i),
+                                        action_rng=arng)
             return None, (fi, ft, bn_updates)
 
         _, (fis, fts, bn_stack) = jax.lax.scan(
             fwd, None, (im, tk, jnp.arange(a)))
-        fi = fis.reshape(a * b, -1)
-        ft = fts.reshape(a * b, -1)
+        fi = from_micro(fis)
+        ft = from_micro(fts)
         # one momentum update from the mean of microbatch statistics
         bn_updates = jax.tree.map(lambda s: s.mean(axis=0), bn_stack)
 
@@ -198,14 +235,15 @@ def _gradcache_value_and_grad(encode, emb_loss, accum_steps, mesh=None):
             emb_loss, argnums=(0, 1, 2)
         )(fi, ft, params["logit_scale"])
 
-        d_fis = d_fi.reshape(a, b, -1)
-        d_fts = d_ft.reshape(a, b, -1)
+        d_fis = to_micro(d_fi, a)
+        d_fts = to_micro(d_ft, a)
 
         def bwd(acc, mt):
             imgs_i, toks_i, dfi_i, dft_i, i = mt
 
             def enc_p(p):
-                fi_i, ft_i, _ = encode(p, imgs_i, toks_i, mrng(i))
+                fi_i, ft_i, _ = encode(p, imgs_i, toks_i, mrng(i),
+                                       action_rng=arng)
                 return fi_i, ft_i
 
             _, vjp = jax.vjp(enc_p, params)
@@ -235,17 +273,17 @@ def make_step_core(spec, tx, mesh=None, sharded_loss=False,
 
     ``accum_steps`` (``TPU.ACCUM_STEPS``): GradCache two-pass gradient
     accumulation — see :func:`_gradcache_value_and_grad`."""
-    loss_fn = make_loss_fn(spec, mesh, sharded_loss, loss_chunk,
-                           label_smoothing, ring_loss=ring_loss,
-                           freeze_bn=freeze_bn)
+    encode = make_encode_fn(spec, freeze_bn)
+    emb_loss = make_embedding_loss(mesh, sharded_loss, loss_chunk,
+                                   label_smoothing, ring_loss)
     if accum_steps > 1:
-        vag = _gradcache_value_and_grad(
-            make_encode_fn(spec, freeze_bn),
-            make_embedding_loss(mesh, sharded_loss, loss_chunk,
-                                label_smoothing, ring_loss),
-            accum_steps, mesh=mesh,
-        )
+        vag = _gradcache_value_and_grad(encode, emb_loss, accum_steps,
+                                        mesh=mesh)
     else:
+        def loss_fn(params, images, tokens, rng=None):
+            fi, ft, bn_updates = encode(params, images, tokens, rng)
+            return emb_loss(fi, ft, params["logit_scale"]), bn_updates
+
         vag = jax.value_and_grad(loss_fn, has_aux=True)
     needs_rng = spec.vision_drop_path > 0.0 or spec.ext.gumbel_select
 

@@ -297,3 +297,52 @@ def test_gumbel_train_step_updates_arch():
     assert np.abs(
         np.asarray(state.params["gumbel_logit"]) - logit0
     ).max() > 0
+
+
+def test_gumbel_gradcache_matches_oneshot():
+    """GUMBEL_SELECT + TPU.ACCUM_STEPS: the GradCache step samples ONE
+    architecture action per step from the one-shot step's key derivation
+    (fold_in(rng, 1)), so with drop-path off and no BN the accumulated
+    gradients match the one-shot step — the InfoNCE matrix must not mix
+    embeddings from different sampled architectures."""
+    from msclip_tpu.config import get_default_config
+    from msclip_tpu.models import MSClipModel, MSClipSpec
+    from msclip_tpu.models.extensions import ExtSpec
+    from msclip_tpu.train.optim import build_optimizer
+    from msclip_tpu.train.trainer import init_train_state, make_train_step
+
+    spec = MSClipSpec(
+        embed_dim=16, image_resolution=32, vision_width=64, vision_layers=2,
+        vision_patch_size=16, vision_heads=1, text_width=64, text_heads=1,
+        text_layers=2, vocab_size=128, context_length=8,
+        ext=ExtSpec(gumbel_select=True, gumbel_addtwo=True),
+    )
+    model = MSClipModel(spec)
+    cfg = get_default_config()
+    params = model.init(jax.random.PRNGKey(4))
+    tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=10)
+
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
+    tokens = np.zeros((8, 8), np.int32)
+    tokens[:, 0] = 126
+    tokens[:, 1] = np.arange(8) % 120 + 1
+    tokens[:, 2] = 127
+    tokens = jnp.asarray(tokens)
+
+    state_a = init_train_state(model, tx, params=params)
+    step_a = make_train_step(spec, tx, donate=False)
+    state_a, m_a = step_a(state_a, images, tokens)
+
+    state_b = init_train_state(model, tx, params=params)
+    step_b = make_train_step(spec, tx, donate=False, accum_steps=4)
+    state_b, m_b = step_b(state_b, images, tokens)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_a["grad_norm"]),
+                               float(m_b["grad_norm"]), rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
