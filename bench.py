@@ -269,12 +269,74 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
     return out
 
 
+def _device_reachable(timeout_s: float = 150.0) -> bool:
+    """Health-check the accelerator in a KILLABLE subprocess: over the
+    remote TPU tunnel an outage makes dispatches hang rather than fail,
+    so an in-process probe could block forever."""
+    import subprocess
+    import sys
+
+    # honor MSCLIP_PLATFORM in the probe too (CPU runs must not probe
+    # the tunnel)
+    code = ("from msclip_tpu.utils.platform import apply_platform_override;"
+            " apply_platform_override();"
+            " import jax; x = jax.numpy.ones((128, 128));"
+            " print(float((x @ x).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_device(max_wait_s: float) -> float:
+    """Poll until the device answers or the budget runs out. Returns the
+    seconds elapsed. The tunnel has multi-hour outages; starting the
+    bench mid-outage would hang with no JSON line at all. (A healthy
+    probe also warms the tunnel, so it is nearly free overall.)"""
+    start = time.monotonic()
+    while not _device_reachable():
+        if time.monotonic() - start > max_wait_s:
+            break
+        time.sleep(60.0)
+    return time.monotonic() - start
+
+
 def main():
+    from msclip_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     n_iters = int(os.environ.get("BENCH_ITERS", "32"))
     model_yaml = os.environ.get("BENCH_MODEL", "b32-yfcc-msclips")
 
-    ips = _bench_eval(model_yaml, batch, n_iters)
+    # preflight (BENCH_PREFLIGHT=0 skips): don't start into an outage
+    if os.environ.get("BENCH_PREFLIGHT", "1") != "0":
+        max_wait = float(os.environ.get("BENCH_MAX_WAIT", "7200"))
+        waited = _wait_for_device(max_wait)
+        if waited > max_wait:
+            print(json.dumps({
+                "metric": "zero-shot eval throughput (device unreachable)",
+                "value": 0.0, "unit": "images/sec/chip",
+                "vs_baseline": 0.0,
+                "extra": {"error": f"TPU tunnel unreachable for "
+                                   f"{int(waited)}s; see BENCH_r02.json "
+                                   f"for the last healthy measurement"},
+            }))
+            return
+
+    ips = None
+    for attempt in range(3):
+        try:
+            ips = _bench_eval(model_yaml, batch, n_iters)
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            # transient mid-run outage: wait for the device and retry
+            _wait_for_device(float(os.environ.get("BENCH_MAX_WAIT",
+                                                  "7200")))
 
     extra = {}
     if os.environ.get("BENCH_QUICK", "0") == "0":
