@@ -1,9 +1,17 @@
-"""Platform override helper.
+"""Platform override + persistent-compile-cache helpers.
 
 This host pins ``JAX_PLATFORMS=axon`` (TPU tunnel) in a way that wins over
 user-set environment variables; ``jax.config.update`` after import is the
 only reliable override. Tools call this first thing so
 ``MSCLIP_PLATFORM=cpu`` works for CI / offline runs.
+
+``MSCLIP_COMPILE_CACHE=<dir>`` enables JAX's persistent compilation
+cache there: first compiles of the full-geometry towers cost 20-40 s on
+TPU (more over the tunnel), and eval/serve/train entry points recompile
+identical programs on every process start — the reference's torch stack
+has no compile step to amortize, so this is a TPU-specific production
+knob. Every tool routes through :func:`apply_platform_override`, so the
+env var covers the whole CLI surface.
 """
 
 import os
@@ -15,3 +23,19 @@ def apply_platform_override() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
+    enable_compile_cache(os.environ.get("MSCLIP_COMPILE_CACHE"))
+
+
+def enable_compile_cache(cache_dir) -> None:
+    """Persist compiled executables under ``cache_dir`` (no-op for
+    falsy/"0"). Thresholds are zeroed so even fast-compiling programs
+    (the serving bucket graphs) are cached — disk is cheap next to a
+    20 s recompile per process start."""
+    if not cache_dir or cache_dir == "0":
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

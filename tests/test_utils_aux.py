@@ -165,3 +165,37 @@ def test_partial_load_gpt2():
     np.testing.assert_array_equal(
         np.asarray(blk["attn"]["qkv_w"]), sd["h.1.attn.c_attn.weight"]
     )
+
+
+def test_compile_cache_persists_across_processes(tmp_path):
+    """MSCLIP_COMPILE_CACHE: apply_platform_override enables JAX's
+    persistent compilation cache, entries land on disk, and a second
+    process reuses them (same keys, no rewrite) instead of recompiling."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+from msclip_tpu.utils.platform import apply_platform_override
+apply_platform_override()
+import jax, jax.numpy as jnp
+f = jax.jit(lambda x: (x @ x).sum() * 3)
+print(float(f(jnp.eye(64))))
+"""
+    env = dict(os.environ, MSCLIP_PLATFORM="cpu",
+               MSCLIP_COMPILE_CACHE=str(tmp_path / "jit_cache"))
+    r1 = subprocess.run([sys.executable, "-c", code], env=env,
+                        capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-1500:]
+    entries = list((tmp_path / "jit_cache").iterdir())
+    assert entries, "no persistent cache entries written"
+    mtimes = {p: p.stat().st_mtime_ns for p in entries}
+
+    r2 = subprocess.run([sys.executable, "-c", code], env=env,
+                        capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    # same program -> same keys: no new entries, none rewritten
+    after = list((tmp_path / "jit_cache").iterdir())
+    assert {p.name for p in after} == {p.name for p in entries}
+    for p in after:
+        assert p.stat().st_mtime_ns == mtimes[p], "cache entry rewritten"
