@@ -242,10 +242,18 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
     n_images = 0
     t0 = time.time()
     logging.info("=> Start to inference")
+    # MSCLIP_TRACE=<dir>: xprof trace of steady-state eval batches 3-6
+    # (past compile), rank 0 only — the CLI hook for
+    # utils/summary.profile_trace (SURVEY.md §5 tracing)
+    trace_dir = os.environ.get("MSCLIP_TRACE") if comm.rank == 0 else None
+    tracing = False
     # simple double-buffering: dispatch batch i+1's transfer+compute before
     # reading batch i's result back to the host
     pending = None
-    for batch in loader:
+    for bi, batch in enumerate(loader):
+        if trace_dir and not tracing and bi == 3:
+            jax.profiler.start_trace(trace_dir)
+            tracing = True
         # device_put straight from numpy: one sharded host->chips
         # transfer (jnp.asarray first would commit the full batch to
         # device 0 and re-distribute)
@@ -257,6 +265,14 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
             _consume(pending, metric, top1, all_logits, all_y, all_pred)
             n_images += int(pending[1]["mask"].sum())
         pending = dispatched
+        if tracing and bi >= 6:
+            pending[0].block_until_ready()  # flush the traced batches
+            jax.profiler.stop_trace()
+            tracing = False
+            trace_dir = None
+            logging.info("xprof trace written (MSCLIP_TRACE)")
+    if tracing:  # dataset shorter than the trace window
+        jax.profiler.stop_trace()
     if pending is not None:
         _consume(pending, metric, top1, all_logits, all_y, all_pred)
         n_images += int(pending[1]["mask"].sum())

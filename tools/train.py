@@ -154,6 +154,11 @@ def main():
     )
     save_every = config.TRAIN.SAVE_EVERY_STEPS
     global_step = int(state.step)  # host-side mirror: no device sync/step
+    # MSCLIP_TRACE=<dir>: xprof trace of steady-state steps 4-7 of the
+    # first epoch (past compile + warmup), rank 0 only — the CLI hook for
+    # utils/summary.profile_trace (SURVEY.md §5 tracing)
+    trace_dir = os.environ.get("MSCLIP_TRACE")
+    tracing = False
     for epoch in range(begin_epoch, config.TRAIN.END_EPOCH):
         loader.set_epoch(epoch)  # fresh shuffle/sampler draws per epoch
         if resume_skip and epoch == begin_epoch:
@@ -173,8 +178,18 @@ def main():
             # it (device_put / host_local assembly); a jnp.asarray here
             # would add a redundant host->device->host->device round trip
             # on the multi-process path
+            if (trace_dir and not tracing and epoch == begin_epoch
+                    and i == 3 and jax.process_index() == 0):
+                jax.profiler.start_trace(trace_dir)
+                tracing = True
             state, metrics = epoch_step_fn(state, batch["image"],
                                            batch["tokens"])
+            if tracing and i >= 6:
+                float(metrics["loss"])  # barrier: flush the traced steps
+                jax.profiler.stop_trace()
+                tracing = False
+                trace_dir = None
+                logging.info("xprof trace written (MSCLIP_TRACE)")
             global_step += 1
             seen += batch["image"].shape[0]
             if (save_every and global_step % save_every == 0
@@ -197,6 +212,10 @@ def main():
                     f"Epoch[{epoch}] Step[{i + 1}/{steps_per_epoch}] "
                     f"loss {loss:.4f} ({ips:.0f} samples/s)"
                 )
+        if tracing:  # epoch shorter than the trace window
+            jax.profiler.stop_trace()
+            tracing = False
+            trace_dir = None
         if swa_should_update(epoch, config):
             if swa_params is None:
                 # first snapshot counts as one averaged model (torch
