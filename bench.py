@@ -290,17 +290,22 @@ def _device_reachable(timeout_s: float = 150.0) -> bool:
         return False
 
 
-def _wait_for_device(max_wait_s: float) -> float:
-    """Poll until the device answers or the budget runs out. Returns the
-    seconds elapsed. The tunnel has multi-hour outages; starting the
-    bench mid-outage would hang with no JSON line at all. (A healthy
-    probe also warms the tunnel, so it is nearly free overall.)"""
+def _wait_for_device(max_wait_s: float) -> tuple:
+    """Poll until the device answers or the budget runs out. Returns
+    ``(reachable, seconds_elapsed)`` — an explicit flag, because a probe
+    that SUCCEEDS can still finish past the budget (each probe takes up
+    to 150 s + a 60 s sleep), and inferring reachability from elapsed
+    time would report a healthy device as unreachable. The tunnel has
+    multi-hour outages; starting the bench mid-outage would hang with no
+    JSON line at all. (A healthy probe also warms the tunnel, so it is
+    nearly free overall.)"""
     start = time.monotonic()
-    while not _device_reachable():
+    while True:
+        if _device_reachable():
+            return True, time.monotonic() - start
         if time.monotonic() - start > max_wait_s:
-            break
+            return False, time.monotonic() - start
         time.sleep(60.0)
-    return time.monotonic() - start
 
 
 def main():
@@ -314,8 +319,8 @@ def main():
     # preflight (BENCH_PREFLIGHT=0 skips): don't start into an outage
     if os.environ.get("BENCH_PREFLIGHT", "1") != "0":
         max_wait = float(os.environ.get("BENCH_MAX_WAIT", "7200"))
-        waited = _wait_for_device(max_wait)
-        if waited > max_wait:
+        reachable, waited = _wait_for_device(max_wait)
+        if not reachable:
             print(json.dumps({
                 "metric": "zero-shot eval throughput (device unreachable)",
                 "value": 0.0, "unit": "images/sec/chip",

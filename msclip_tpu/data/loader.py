@@ -90,7 +90,8 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, workers: int = 8,
                  prefetch: int = 4, shuffle: bool = False, seed: int = 0,
                  drop_last: bool = False, shard: tuple = (0, 1),
-                 sampler: str = "default", chunk_size: int = 256):
+                 sampler: str = "default", chunk_size: int = 256,
+                 equal_shards: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.workers = max(workers, 1)
@@ -100,6 +101,17 @@ class BatchLoader:
         self.drop_last = drop_last
         # (rank, world): striped multi-process sharding of the sample order
         self.shard = shard
+        # equal_shards pads the order by wrapping (torch DistributedSampler
+        # semantics) so every rank's stripe — and therefore its batch
+        # count — is identical. REQUIRED for training: when
+        # len(dataset) % world crosses a batch boundary, unequal stripes
+        # give ranks different step counts per epoch, so one rank
+        # dispatches a train step whose mesh collectives wait on a peer
+        # that already moved on (distributed deadlock), and the resume
+        # modulus (step % num_batches) desynchronizes across ranks.
+        # Leave False for eval: exactly-once coverage, unequal tails
+        # handled by the metric gather's padding.
+        self.equal_shards = equal_shards
         self.sampler = sampler or "default"
         self.chunk_size = chunk_size
         self._epoch = 0
@@ -137,7 +149,13 @@ class BatchLoader:
             chunk_size=self.chunk_size,
         )
         rank, world = self.shard
-        return order[rank::world] if world > 1 else order
+        if world <= 1:
+            return order
+        if self.equal_shards:
+            pad = (-len(order)) % world
+            if pad:  # wrap: repeat the head so stripes are equal length
+                order = np.concatenate([order, order[:pad]])
+        return order[rank::world]
 
     @property
     def num_batches(self) -> int:
@@ -147,7 +165,11 @@ class BatchLoader:
         per dataset element before striping; asserted in tests)."""
         n = len(self.dataset)
         rank, world = self.shard
-        stripe = len(range(rank, n, world)) if world > 1 else n
+        if world > 1:
+            stripe = (-(-n // world) if self.equal_shards
+                      else len(range(rank, n, world)))
+        else:
+            stripe = n
         if self.drop_last:
             return stripe // self.batch_size
         return (stripe + self.batch_size - 1) // self.batch_size

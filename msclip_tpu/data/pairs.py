@@ -20,6 +20,7 @@ while a bare dataset defaults to the deterministic eval transform.
 from __future__ import annotations
 
 import os
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -28,7 +29,31 @@ from .tokenizer import ClipTokenizer
 from .transforms import pil_eval_transform
 
 
-def _native_train_decode(path: str, size, mean, std, scale, hflip_p):
+_RNG_LOCAL = threading.local()
+
+
+def _worker_rng() -> np.random.Generator:
+    """Thread-local Generator for augmentation seed draws: a fresh
+    ``default_rng()`` per decoded image pays a PRNG construction + OS
+    entropy read on the training hot path (loader worker threads, one
+    per sample at corpus scale). Each worker thread spawns one child
+    stream from a shared SeedSequence (seeded by ``MSCLIP_SEED`` when
+    set, OS entropy otherwise) and reuses it."""
+    rng = getattr(_RNG_LOCAL, "rng", None)
+    if rng is None:
+        with _RNG_SS_LOCK:
+            rng = np.random.default_rng(_RNG_SS.spawn(1)[0])
+        _RNG_LOCAL.rng = rng
+    return rng
+
+
+_RNG_SS = np.random.SeedSequence(
+    int(os.environ["MSCLIP_SEED"]) if os.environ.get("MSCLIP_SEED") else None
+)
+_RNG_SS_LOCK = threading.Lock()
+
+
+def _native_train_decode(path: str, size, mean, std, scale, ratio, hflip_p):
     """JPEG fast path for training decode: the C++ RandomResizedCrop +
     flip + normalize pipeline (``native.decode_train``), with DCT-scaled
     decode when ``MSCLIP_DCT_SCALE=1``.
@@ -50,9 +75,10 @@ def _native_train_decode(path: str, size, mean, std, scale, hflip_p):
         data = f.read()
     if not N.is_jpeg(data):
         return None, data
-    seed = int(np.random.default_rng().integers(1, 2 ** 63))
+    seed = int(_worker_rng().integers(1, 2 ** 63))
     img = N.decode_train(
-        data, size, mean, std, seed=seed, scale=scale, hflip_p=hflip_p,
+        data, size, mean, std, seed=seed, scale=scale, ratio=ratio,
+        hflip_p=hflip_p,
         dct_scale=os.environ.get("MSCLIP_DCT_SCALE") == "1",
     )
     return img, data
@@ -177,7 +203,8 @@ def make_train_transform(config):
     from PIL import Image, ImageFile
 
     def transform(path):
-        img, data = _native_train_decode(path, size, mean, std, scale, 0.5)
+        img, data = _native_train_decode(path, size, mean, std, scale,
+                                         ratio, 0.5)
         if img is not None:
             return img
         if data is not None:  # bytes already read: decode them directly

@@ -258,7 +258,7 @@ class OxfordPets(_PathDataset):
     def __init__(self, root: str, image_set: str = "train",
                  transform: Optional[Callable] = None):
         samples = []
-        n_classes = 0
+        names = {}  # label -> breed, from the image stem ("Abyssinian_12")
         with open(os.path.join(root, "annotations",
                                self.SPLITS[image_set])) as f:
             for line in f:
@@ -266,11 +266,11 @@ class OxfordPets(_PathDataset):
                 if not parts or parts[0].startswith("#"):
                     continue
                 label = int(parts[1]) - 1
-                n_classes = max(n_classes, label + 1)
+                names[label] = parts[0].rsplit("_", 1)[0].replace("_", " ")
                 samples.append((os.path.join(root, "images",
                                              parts[0] + ".jpg"), label))
-        super().__init__(samples, [str(i) for i in range(n_classes)],
-                         transform)
+        classes = [names.get(i, str(i)) for i in range(max(names) + 1)]
+        super().__init__(samples, classes, transform)
 
 
 class Gtsrb(_PathDataset):
@@ -333,8 +333,8 @@ class StanfordCars(_PathDataset):
                  transform: Optional[Callable] = None):
         from scipy.io import loadmat
 
-        annos = loadmat(os.path.join(root, "cars_annos.mat"),
-                        squeeze_me=True)["annotations"]
+        mat = loadmat(os.path.join(root, "cars_annos.mat"), squeeze_me=True)
+        annos = mat["annotations"]
         want_test = image_set == "test"
         samples = []
         for a in np.atleast_1d(annos):
@@ -342,7 +342,14 @@ class StanfordCars(_PathDataset):
                 continue
             samples.append((os.path.join(root, str(a["relative_im_path"])),
                             int(a["class"]) - 1))
-        super().__init__(samples, [str(i) for i in range(196)], transform)
+        # cars_annos.mat ships the real class names ("AM General Hummer
+        # SUV 2000", ...); numeric placeholders only if the field is
+        # absent (zero-shot then refuses — see eval.resolve_prompts)
+        if "class_names" in mat:
+            classes = [str(c) for c in np.atleast_1d(mat["class_names"])]
+        else:
+            classes = [str(i) for i in range(196)]
+        super().__init__(samples, classes, transform)
 
 
 class FgvcAircraft(_PathDataset):

@@ -180,11 +180,12 @@ def make_shard_train_transform(config):
     def transform(data: bytes):
         if os.environ.get("MSCLIP_NATIVE_DECODE") == "1":
             from .. import native as N
+            from .pairs import _worker_rng
 
-            seed = int(np.random.default_rng().integers(1, 2 ** 63))
+            seed = int(_worker_rng().integers(1, 2 ** 63))
             img = N.decode_train(
                 data, size, mean, std, seed=seed, scale=scale,
-                hflip_p=0.5,
+                ratio=ratio, hflip_p=0.5,
                 dct_scale=os.environ.get("MSCLIP_DCT_SCALE") == "1",
             )
             if img is not None:

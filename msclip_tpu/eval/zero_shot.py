@@ -77,6 +77,34 @@ def build_zeroshot_classifier(model: MSClipModel, params, tokenizer,
     return class_embeds.T  # [E, C]
 
 
+def resolve_prompts(prompt_name: str, dataset):
+    """``(classnames, templates)`` for a zero-shot run: the curated
+    prompt set when one exists, else the dataset's own classnames under
+    the ImageNet-80 template ensemble (CLIP-paper default for unlisted
+    datasets). Rejects numeric placeholder classnames — loaders whose
+    label files are absent synthesize ``["0", "1", ...]``, and prompts
+    like 'a photo of a 42.' would yield a plausible-looking near-chance
+    accuracy instead of an error."""
+    try:
+        return get_classnames(prompt_name), get_templates(prompt_name)
+    except ValueError:
+        classnames = [str(c).replace("_", " ")
+                      for c in getattr(dataset, "classes", [])]
+        if not classnames:
+            raise
+        if all(c.strip().isdigit() for c in classnames):
+            raise ValueError(
+                f"dataset '{prompt_name}' exposes only numeric "
+                "placeholder classnames — zero-shot needs real class "
+                "names: provide the dataset's label/classname file or a "
+                "curated prompt set (data/assets/prompts.json)"
+            )
+        logging.info(f"=> no prompt set for '{prompt_name}'; using "
+                     f"{len(classnames)} dataset classnames with the "
+                     "imagenet template ensemble")
+        return classnames, get_templates("imagenet")
+
+
 def make_dataset(config, transform=None, image_set: str = "test"):
     """Dataset factory mirroring the reference's dispatch
     (tools/zero_shot.py:208-217) plus a synthetic fallback for CI.
@@ -184,21 +212,7 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
         prompt_name = "imagenet"
     if dataset is None:
         dataset = make_dataset(config)
-    try:
-        classnames = get_classnames(prompt_name)
-        templates = get_templates(prompt_name)
-    except ValueError:
-        # transfer-suite datasets without a curated prompt set: fall back
-        # to the dataset's own classnames under the ImageNet-80 template
-        # ensemble (CLIP-paper default for unlisted datasets)
-        classnames = [str(c).replace("_", " ")
-                      for c in getattr(dataset, "classes", [])]
-        if not classnames:
-            raise
-        templates = get_templates("imagenet")
-        logging.info(f"=> no prompt set for '{prompt_name}'; using "
-                     f"{len(classnames)} dataset classnames with the "
-                     "imagenet template ensemble")
+    classnames, templates = resolve_prompts(prompt_name, dataset)
     subset = int(config.TEST.get("SUBSET_CLASSES", 0) or 0)
     if subset > 0:
         classnames = classnames[:subset]

@@ -71,7 +71,8 @@ def _load():
             lib.ip_decode_eval.restype = ctypes.c_int
             lib.ip_decode_train.argtypes = [
                 u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_double,
-                ctypes.c_double, ctypes.c_double, ctypes.c_uint64, f32p,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, ctypes.c_uint64, f32p,
                 f32p, f32p, ctypes.c_int,
             ]
             lib.ip_decode_train.restype = ctypes.c_int
@@ -133,8 +134,8 @@ def decode_eval(data: bytes, size: int, mean, std, dct_scale: bool = False):
 
 
 def decode_train(data: bytes, size: int, mean, std, seed: int,
-                 scale=(0.08, 1.0), hflip_p: float = 0.5,
-                 dct_scale: bool = False):
+                 scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                 hflip_p: float = 0.5, dct_scale: bool = False):
     """JPEG bytes -> RandomResizedCrop(size) + hflip + normalize.
     ``dct_scale`` decodes at >= 2x the crop target (aug statistics
     preserved, window geometry in scaled coordinates)."""
@@ -147,7 +148,8 @@ def decode_train(data: bytes, size: int, mean, std, seed: int,
     buf = np.frombuffer(data, np.uint8)
     rc = lib.ip_decode_train(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data), size,
-        float(scale[0]), float(scale[1]), float(hflip_p),
+        float(scale[0]), float(scale[1]),
+        float(ratio[0]), float(ratio[1]), float(hflip_p),
         ctypes.c_uint64(seed & (2 ** 64 - 1)).value or 1,
         _fvec(mean), _fvec(std),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

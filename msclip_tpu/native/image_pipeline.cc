@@ -290,13 +290,13 @@ int ip_decode_eval(const uint8_t* data, size_t len, int size,
   return decode_eval_impl(data, len, size, mean, stdv, out, dct_scale);
 }
 
-// torchvision RandomResizedCrop(size, scale=(smin,smax), ratio 3/4..4/3)
+// torchvision RandomResizedCrop(size, scale=(smin,smax), ratio=(rmin,rmax))
 // + horizontal flip with probability hflip_p; bicubic resample of the crop
 // window directly (PIL resize(box=...) semantics).
 int ip_decode_train(const uint8_t* data, size_t len, int size, double smin,
-                    double smax, double hflip_p, uint64_t seed,
-                    const float* mean, const float* stdv, float* out,
-                    int dct_scale) {
+                    double smax, double rmin, double rmax, double hflip_p,
+                    uint64_t seed, const float* mean, const float* stdv,
+                    float* out, int dct_scale) {
   std::vector<uint8_t> img;
   int w, h;
   // dct_scale for training decodes at >= 2x the crop target so the
@@ -309,7 +309,7 @@ int ip_decode_train(const uint8_t* data, size_t len, int size, double smin,
   double area = static_cast<double>(w) * h;
   int cx = 0, cy = 0, cw = w, chh = h;
   bool found = false;
-  const double log_rmin = std::log(3.0 / 4.0), log_rmax = std::log(4.0 / 3.0);
+  const double log_rmin = std::log(rmin), log_rmax = std::log(rmax);
   for (int attempt = 0; attempt < 10; ++attempt) {
     double target = area * (smin + (smax - smin) * uniform01(&rs));
     double ratio = std::exp(log_rmin + (log_rmax - log_rmin) * uniform01(&rs));
@@ -326,12 +326,12 @@ int ip_decode_train(const uint8_t* data, size_t len, int size, double smin,
   }
   if (!found) {  // torchvision fallback: center crop at in-range ratio
     double in_ratio = static_cast<double>(w) / h;
-    if (in_ratio < 3.0 / 4.0) {
+    if (in_ratio < rmin) {
       cw = w;
-      chh = static_cast<int>(std::lround(cw / (3.0 / 4.0)));
-    } else if (in_ratio > 4.0 / 3.0) {
+      chh = static_cast<int>(std::lround(cw / rmin));
+    } else if (in_ratio > rmax) {
       chh = h;
-      cw = static_cast<int>(std::lround(chh * (4.0 / 3.0)));
+      cw = static_cast<int>(std::lround(chh * rmax));
     } else {
       cw = w;
       chh = h;

@@ -48,8 +48,12 @@ def _decode_image(body: bytes, content_type: str, size: int) -> np.ndarray:
     """Request body -> uint8 [size, size, 3] crop."""
     if "npy" in content_type or body[:6] == b"\x93NUMPY":
         arr = np.load(io.BytesIO(body), allow_pickle=False)
-        if arr.dtype != np.uint8 or arr.ndim != 3:
-            raise ValueError("npy image must be uint8 HWC")
+        # validate channels BEFORE the fast path: a (size, size, 4) RGBA
+        # array passed through raw would blow up in the batcher's
+        # np.stack, poisoning every concurrent request coalesced into
+        # the same batch with that one client's error
+        if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError("npy image must be uint8 HWC with 3 channels")
         if arr.shape[0] == size and arr.shape[1] == size:
             return arr
         from PIL import Image

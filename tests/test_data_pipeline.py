@@ -328,6 +328,50 @@ def test_batchloader_fast_forward():
     assert labels.tolist() == list(range(32))
 
 
+def test_batchloader_equal_shards_rank_agreement():
+    """Regression: training loaders must give every rank the SAME batch
+    count. With striped shards and len(dataset) % world crossing a batch
+    boundary, rank 0 used to get one more drop_last batch than rank 1 —
+    the extra train step's mesh collectives then deadlock waiting on the
+    rank that already moved to the epoch-end save, and the resume
+    modulus (step % num_batches) silently desynchronizes."""
+    import numpy as np
+
+    from msclip_tpu.data.loader import BatchLoader
+
+    class DS:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return np.zeros((2, 2, 3), np.float32), i
+
+    n, world, bs = 127, 2, 32  # stripes 64/63 -> 2 vs 1 drop_last batches
+
+    # the bug, kept as the documented eval behavior (exactly-once):
+    plain = [BatchLoader(DS(n), bs, workers=1, drop_last=True,
+                         shard=(r, world)) for r in range(world)]
+    assert plain[0].num_batches != plain[1].num_batches
+
+    loaders = [BatchLoader(DS(n), bs, workers=1, drop_last=True,
+                           shard=(r, world), equal_shards=True)
+               for r in range(world)]
+    counts, seen = [], []
+    for ld in loaders:
+        batches = list(ld)
+        counts.append(len(batches))
+        assert len(batches) == ld.num_batches  # resume modulus agrees
+        seen.extend(np.concatenate([b["label"] for b in batches]).tolist())
+    assert counts[0] == counts[1] == 2
+    # wrap-padding repeats at most world-1 samples, never invents indices
+    assert set(seen) <= set(range(n))
+    # every index appears at most twice (the single wrapped duplicate)
+    assert max(np.bincount(seen, minlength=n)) <= 2
+
+
 def test_class_aware_draw_count_differs_from_dataset_size():
     """Regression: the vectorized sampler must bound class pools by the
     DATASET size, not the draw count (n < len(labels) crashed with an

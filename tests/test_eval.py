@@ -256,3 +256,33 @@ def test_make_dataset_image_set_routing(tmp_path):
     cfg.DATASET.ROOT = str(root)
     assert len(make_dataset(cfg, image_set="train")) == 2
     assert len(make_dataset(cfg, image_set="test")) == 1
+
+
+def test_resolve_prompts_fallback_and_placeholder_guard():
+    """Classname fallback: curated prompt sets win; datasets exposing
+    real classnames fall back to them under the imagenet templates;
+    numeric placeholder classnames (loaders synthesizing ["0", "1", ...]
+    when label files are absent) must FAIL loudly instead of producing a
+    plausible-looking near-chance accuracy."""
+    from msclip_tpu.data import get_classnames, get_templates
+    from msclip_tpu.eval.zero_shot import resolve_prompts
+
+    class DS:
+        def __init__(self, classes):
+            self.classes = classes
+
+    # curated set: dataset classes ignored
+    names, templates = resolve_prompts("imagenet", DS(["x"]))
+    assert names == get_classnames("imagenet")
+
+    # fallback: dataset classnames + imagenet templates, '_' -> ' '
+    names, templates = resolve_prompts("nosuchset", DS(["water_lily", "cat"]))
+    assert names == ["water lily", "cat"]
+    assert templates == get_templates("imagenet")
+
+    # numeric placeholders: loud failure
+    with pytest.raises(ValueError, match="placeholder"):
+        resolve_prompts("nosuchset", DS([str(i) for i in range(5)]))
+    # no classes at all: the original lookup error propagates
+    with pytest.raises(ValueError):
+        resolve_prompts("nosuchset", DS([]))

@@ -120,13 +120,14 @@ def _uniform01_py(state):
     return state, (z >> 11) * (1.0 / 9007199254740992.0)
 
 
-def _train_params_py(seed, w, h, smin=0.08, smax=1.0, hflip_p=0.5):
+def _train_params_py(seed, w, h, smin=0.08, smax=1.0, rmin=3 / 4,
+                     rmax=4 / 3, hflip_p=0.5):
     """Replicates ip_decode_train's crop/flip draws."""
     import math
 
     rs = seed if seed else 0x2545F4914F6CDD1D
     area = float(w * h)
-    log_rmin, log_rmax = math.log(3 / 4), math.log(4 / 3)
+    log_rmin, log_rmax = math.log(rmin), math.log(rmax)
     found = False
     for _ in range(10):
         rs, u1 = _uniform01_py(rs)
@@ -143,10 +144,10 @@ def _train_params_py(seed, w, h, smin=0.08, smax=1.0, hflip_p=0.5):
             break
     if not found:
         in_ratio = w / h
-        if in_ratio < 3 / 4:
-            cw, ch = w, round(w / (3 / 4))
-        elif in_ratio > 4 / 3:
-            ch, cw = h, round(h * (4 / 3))
+        if in_ratio < rmin:
+            cw, ch = w, round(w / rmin)
+        elif in_ratio > rmax:
+            ch, cw = h, round(h * rmax)
         else:
             cw, ch = w, h
         cx, cy = (w - cw) // 2, (h - ch) // 2
@@ -180,6 +181,35 @@ def test_decode_train_matches_pil_box_resize():
         assert diff.mean() < 0.02, (seed, diff.mean())
         # the top/bottom rows specifically (where the OOB bug lived)
         assert diff[:2].mean() < 0.04 and diff[-2:].mean() < 0.04, seed
+
+
+def test_decode_train_honors_ratio_range():
+    """Regression: AUG.RATIO must reach the native RandomResizedCrop —
+    it used to hardcode 3/4..4/3, silently training with different crop
+    statistics on the native vs PIL path for non-default configs."""
+    from PIL import Image
+
+    data = _jpeg_bytes(300, 200, seed=7)
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    ratio = (0.95, 1.05)  # narrow, far from the 3/4..4/3 default
+    for seed in range(1, 6):
+        got = N.decode_train(data, 224, IMAGENET_MEAN, IMAGENET_STD,
+                             seed=seed, ratio=ratio)
+        assert got is not None
+        cx, cy, cw, ch, flip = _train_params_py(
+            seed, *img.size, rmin=ratio[0], rmax=ratio[1]
+        )
+        # the drawn window itself must respect the narrow range
+        assert ratio[0] * 0.9 <= cw / ch <= ratio[1] * 1.1, (seed, cw, ch)
+        ref = img.resize((224, 224), Image.BICUBIC,
+                         box=(cx, cy, cx + cw, cy + ch))
+        arr = np.asarray(ref, np.float32) / 255.0
+        if flip:
+            arr = arr[:, ::-1]
+        arr = (arr - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
+            IMAGENET_STD, np.float32
+        )
+        assert np.abs(got - arr).mean() < 0.02, seed
 
 
 def test_decode_train_thread_deterministic():

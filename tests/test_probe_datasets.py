@@ -201,6 +201,8 @@ def test_oxford_pets_layout(tmp_path):
     te = OxfordPets(str(tmp_path), "test", transform=_tf)
     assert len(tr) == 2 and len(te) == 1
     assert tr[0][1] == 0 and tr[1][1] == 4
+    # real breed names from the image stems (zero-shot needs them)
+    assert tr.classes[0] == "Abyssinian" and tr.classes[4] == "beagle"
 
 
 def test_gtsrb_layout(tmp_path):
@@ -270,13 +272,23 @@ def test_stanford_cars_mat(tmp_path):
                                     ("class", "O"), ("test", "O")])
     annos[0, 0] = ("car_ims/000001.jpg", 3, 0)
     annos[0, 1] = ("car_ims/000002.jpg", 7, 1)
-    savemat(tmp_path / "cars_annos.mat", {"annotations": annos})
+    names = np.array([f"Make Model {2000 + i}" for i in range(8)],
+                     dtype=object)
+    savemat(tmp_path / "cars_annos.mat",
+            {"annotations": annos, "class_names": names})
     for name in ("000001.jpg", "000002.jpg"):
         _save_jpg(str(tmp_path / "car_ims" / name))
     tr = StanfordCars(str(tmp_path), "train", transform=_tf)
     te = StanfordCars(str(tmp_path), "test", transform=_tf)
     assert len(tr) == 1 and tr[0][1] == 2
     assert len(te) == 1 and te[0][1] == 6
+    # real class names from the mat (zero-shot needs them)
+    assert tr.classes[2] == "Make Model 2002"
+
+    # without class_names: numeric placeholders (zero-shot then refuses)
+    savemat(tmp_path / "cars_annos.mat", {"annotations": annos})
+    tr = StanfordCars(str(tmp_path), "train", transform=_tf)
+    assert tr.classes[:2] == ["0", "1"]
 
 
 def test_registry_and_probe_integration(tmp_path):

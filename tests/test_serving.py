@@ -126,6 +126,34 @@ def test_pil_to_uint8_matches_eval_transform():
     np.testing.assert_allclose(renorm, want, atol=1e-6)
 
 
+def test_decode_image_rejects_bad_npy_shapes():
+    """Malformed npy uploads must fail at decode (-> a 400 for that one
+    client), BEFORE reaching the batcher — np.stack over mixed shapes
+    there would poison every concurrent request coalesced into the same
+    batch."""
+    import io as _io
+
+    import pytest
+
+    from msclip_tpu.serve.server import _decode_image
+
+    def npy_bytes(arr):
+        buf = _io.BytesIO()
+        np.save(buf, arr)
+        return buf.getvalue()
+
+    ok = _decode_image(
+        npy_bytes(np.zeros((SIZE, SIZE, 3), np.uint8)), "npy", SIZE
+    )
+    assert ok.shape == (SIZE, SIZE, 3)
+    for bad in [np.zeros((SIZE, SIZE, 4), np.uint8),   # RGBA fast path
+                np.zeros((SIZE, SIZE, 1), np.uint8),   # grayscale
+                np.zeros((SIZE, SIZE), np.uint8),      # 2-D
+                np.zeros((SIZE, SIZE, 3), np.float32)]:
+        with pytest.raises(ValueError):
+            _decode_image(npy_bytes(bad), "npy", SIZE)
+
+
 def test_dynamic_batcher_coalesces_and_routes():
     calls = []
 

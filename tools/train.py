@@ -287,7 +287,11 @@ class BatchLoaderPairs(BatchLoader):
         super().__init__(dataset, batch_size, workers=workers,
                          shuffle=shuffle, seed=seed, drop_last=True,
                          shard=(jax.process_index(), jax.process_count()),
-                         sampler=sampler)
+                         sampler=sampler,
+                         # all ranks MUST agree on batches/epoch: unequal
+                         # stripes deadlock the mesh collectives and skew
+                         # the resume modulus (see BatchLoader.equal_shards)
+                         equal_shards=True)
 
     def __iter__(self):
         for batch in super().__iter__():
