@@ -178,14 +178,16 @@ def _bench_train(model_yaml: str, batch: int, n_iters: int) -> float:
 
 def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
     """BENCH_JPEG=1: the PRODUCTION input path — JPEG bytes -> native
-    multi-threaded DCT-scaled decode -> device transfer -> encode_image +
-    1k-class logits, host decode overlapped with device compute
-    (double-buffered dispatch). Reported numbers:
+    multi-threaded DCT-scaled decode to **uint8 center crops** -> device
+    transfer (150 KB/img, 4x smaller than the fp32 pixels r3 shipped) ->
+    in-graph /255-mean-std normalize (fused into the first conv) ->
+    encode_image + 1k-class logits, host decode overlapped with device
+    compute (double-buffered dispatch). Reported numbers:
 
       jpeg_eval_ips        end-to-end images/sec (host-bound on few-core
                            hosts; the uint8 headline is the device bound)
-      jpeg_decode_ips_core single-thread native decode rate, img/s/core
-                           (multiply by cores to get a host's feed ceiling)
+      jpeg_decode_ips_core single-thread native uint8 decode rate,
+                           img/s/core (x cores = a host's feed ceiling)
       jpeg_decode_ips_core_full  same without DCT-scaled decode
 
     Images are synthetic 1024x768 q90 JPEGs (YFCC-like photo scale).
@@ -199,7 +201,8 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
     import jax.numpy as jnp
 
     from msclip_tpu import native as N
-    from msclip_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from msclip_tpu.data.transforms import (IMAGENET_MEAN, IMAGENET_STD,
+                                            normalize_uint8)
 
     if not N.native_available():
         return {"jpeg_error": f"native unavailable: {N.build_error()!r}"}
@@ -215,7 +218,8 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
     )
 
     @jax.jit
-    def logits_top1(params, classifier, images):
+    def logits_top1(params, classifier, images_u8):
+        images = normalize_uint8(images_u8, IMAGENET_MEAN, IMAGENET_STD)
         feats = model.encode_image(params, images)
         logits = 100.0 * feats @ classifier.astype(feats.dtype)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32).sum()
@@ -235,18 +239,16 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
     for key, dct in (("jpeg_decode_ips_core", True),
                      ("jpeg_decode_ips_core_full", False)):
         for d in datas[:4]:
-            N.decode_eval(d, 224, IMAGENET_MEAN, IMAGENET_STD, dct_scale=dct)
+            N.decode_eval_u8(d, 224, dct_scale=dct)
         t0 = time.perf_counter()
         n_timed = min(len(datas), 64)
         for d in datas[:n_timed]:
-            N.decode_eval(d, 224, IMAGENET_MEAN, IMAGENET_STD, dct_scale=dct)
+            N.decode_eval_u8(d, 224, dct_scale=dct)
         out[key] = round(n_timed / (time.perf_counter() - t0), 1)
 
     # end-to-end: decode batch i+1 on the host while batch i computes
     def host_decode():
-        imgs, ok = N.decode_eval_batch(
-            datas, 224, IMAGENET_MEAN, IMAGENET_STD, dct_scale=True
-        )
+        imgs, ok = N.decode_eval_batch_u8(datas, 224, dct_scale=True)
         assert ok.all()
         return imgs
 

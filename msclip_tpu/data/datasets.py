@@ -60,10 +60,18 @@ class ImageFolderDataset:
     classes sorted lexicographically, images sorted within class.
 
     ``native=True`` (or env ``MSCLIP_NATIVE_DECODE=1``) routes JPEG samples
-    through the C++ decode/resample/normalize pipeline
-    (``msclip_tpu.native``); non-JPEG files or native failures fall back to
-    the PIL transform. Only valid with the default eval transform (the
-    native path hard-codes its semantics)."""
+    through the C++ decode/resample pipeline (``msclip_tpu.native``);
+    non-JPEG files or native failures fall back to the PIL path. Only
+    valid with the default eval transform (the native path hard-codes its
+    semantics).
+
+    The native path emits **uint8 center crops** (``emits_uint8`` is then
+    True) and the consumer normalizes in-graph on device
+    (:func:`..data.transforms.normalize_uint8`) — the serving boundary
+    contract, 4x less host->device traffic than fp32 pixels, numerically
+    identical (the in-graph fp32 math matches ``pil_eval_transform``
+    op-for-op). ``MSCLIP_NATIVE_U8=0`` restores the legacy host-side
+    fp32-normalize behavior."""
 
     def __init__(self, root: str, transform: Optional[Callable] = None,
                  native: Optional[bool] = None, image_size: int = 224,
@@ -79,6 +87,8 @@ class ImageFolderDataset:
         self.image_size = image_size
         self.mean = tuple(mean) if mean is not None else IMAGENET_MEAN
         self.std = tuple(std) if std is not None else IMAGENET_STD
+        self.emits_uint8 = (self.native
+                            and os.environ.get("MSCLIP_NATIVE_U8") != "0")
         self.samples, self.classes = scan_image_folder(root)
 
     def __len__(self):
@@ -98,9 +108,18 @@ class ImageFolderDataset:
             # decode the parity transform uses. Opt-in, because the parity
             # contract of the default path is bit-exactness to
             # pil_eval_transform within JPEG-decoder rounding.
+            dct = os.environ.get("MSCLIP_DCT_SCALE") == "1"
+            if self.emits_uint8:
+                img = N.decode_eval_u8(data, self.image_size, dct_scale=dct)
+                if img is not None:
+                    return img, label
+                # PIL fallback must keep the batch dtype uniform (uint8)
+                from .transforms import pil_eval_uint8
+
+                return pil_eval_uint8(_load_image(path),
+                                      self.image_size), label
             img = N.decode_eval(
-                data, self.image_size, self.mean, self.std,
-                dct_scale=os.environ.get("MSCLIP_DCT_SCALE") == "1",
+                data, self.image_size, self.mean, self.std, dct_scale=dct,
             )
             if img is not None:
                 return img, label

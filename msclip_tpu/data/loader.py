@@ -198,7 +198,9 @@ class BatchLoader:
 
         def build_batch(idxs):
             samples = [self.dataset[int(i)] for i in idxs]
-            images = np.stack([s[0] for s in samples]).astype(np.float32)
+            images = np.stack([s[0] for s in samples])
+            if images.dtype != np.uint8:  # uint8-boundary datasets stay u8
+                images = images.astype(np.float32)
             labels = np.asarray([s[1] for s in samples])
             mask = np.ones(len(samples), bool)
             pad = self.batch_size - len(samples)

@@ -23,9 +23,14 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
-def pil_eval_transform(image, size: int = 224,
-                       mean=IMAGENET_MEAN, std=IMAGENET_STD) -> np.ndarray:
-    """PIL image -> float32 HWC array, reference-eval-compatible."""
+def pil_eval_uint8(image, size: int = 224) -> np.ndarray:
+    """PIL image -> uint8 ``[size, size, 3]`` center crop: exactly the
+    resize/crop stages of :func:`pil_eval_transform` with the /255 +
+    normalize left to run in-graph on device (:func:`normalize_uint8`).
+    ``normalize_uint8(pil_eval_uint8(img))`` equals
+    ``pil_eval_transform(img)`` bit-for-bit (same fp32 ops in the same
+    order), while the host->device payload is 4x smaller — the production
+    input boundary (serve/export.py and the native eval path share it)."""
     from PIL import Image
 
     if image.mode != "RGB":
@@ -43,9 +48,28 @@ def pil_eval_transform(image, size: int = 224,
     left = int(round((new_w - size) / 2.0))
     top = int(round((new_h - size) / 2.0))
     image = image.crop((left, top, left + size, top + size))
-    arr = np.asarray(image, dtype=np.float32) / 255.0
+    return np.asarray(image, dtype=np.uint8)
+
+
+def pil_eval_transform(image, size: int = 224,
+                       mean=IMAGENET_MEAN, std=IMAGENET_STD) -> np.ndarray:
+    """PIL image -> float32 HWC array, reference-eval-compatible."""
+    arr = pil_eval_uint8(image, size).astype(np.float32) / 255.0
     arr = (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
     return arr
+
+
+def normalize_uint8(images_u8, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """In-graph /255 + mean/std normalize of uint8 pixels (traceable; XLA
+    fuses it into the first conv). The fp32 op order matches
+    :func:`pil_eval_transform`'s numpy arithmetic exactly, so a uint8
+    boundary + this function is bit-identical to shipping fp32 pixels."""
+    import jax.numpy as jnp
+
+    x = images_u8.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(
+        std, jnp.float32
+    )
 
 
 def pil_train_transform(image, size: int = 224,

@@ -243,10 +243,30 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
         shard=(comm.rank, comm.world_size),
     )
 
-    @jax.jit
-    def logits_fn(params, weights, images):
-        feats = model.encode_image(params, images)
-        return 100.0 * feats @ weights
+    # uint8-boundary datasets (native decode): pixels cross the host->
+    # device link as uint8 crops (4x smaller) and the /255-mean-std
+    # normalize runs in-graph, where XLA fuses it into the first conv —
+    # numerically identical to host-side fp32 normalize (the op order
+    # matches pil_eval_transform exactly; see data/transforms.py).
+    emits_uint8 = bool(getattr(dataset, "emits_uint8", False))
+    if emits_uint8:
+        from ..data.transforms import normalize_uint8
+
+        norm_mean = tuple(config.INPUT.MEAN)
+        norm_std = tuple(config.INPUT.STD)
+
+        @jax.jit
+        def logits_fn(params, weights, images):
+            feats = model.encode_image(
+                params, normalize_uint8(images, norm_mean, norm_std)
+            )
+            return 100.0 * feats @ weights
+    else:
+
+        @jax.jit
+        def logits_fn(params, weights, images):
+            feats = model.encode_image(params, images)
+            return 100.0 * feats @ weights
 
     metric = config.TEST.get("METRIC", "accuracy")
     save_pred = config.TEST.get("SAVE_PRED", "")

@@ -82,6 +82,16 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ]
             lib.ip_decode_eval_batch.restype = ctypes.c_int
+            lib.ip_decode_eval_u8.argtypes = [
+                u8p, ctypes.c_size_t, ctypes.c_int, u8p, ctypes.c_int,
+            ]
+            lib.ip_decode_eval_u8.restype = ctypes.c_int
+            lib.ip_decode_eval_batch_u8.argtypes = [
+                u8p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, u8p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ]
+            lib.ip_decode_eval_batch_u8.restype = ctypes.c_int
             _LIB = lib
         except Exception as e:  # no compiler / libjpeg: PIL fallback
             _LIB_ERR = e
@@ -128,6 +138,26 @@ def decode_eval(data: bytes, size: int, mean, std, dct_scale: bool = False):
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data), size,
         _fvec(mean), _fvec(std),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(bool(dct_scale)),
+    )
+    return out if rc == 0 else None
+
+
+def decode_eval_u8(data: bytes, size: int, dct_scale: bool = False):
+    """JPEG bytes -> uint8 [size, size, 3] resize/center-crop (the
+    normalize runs in-graph on device — the serving boundary contract,
+    ``serve/export.py``: 4x smaller host->device payload, and the
+    /255-mean-std math in fp32 on device matches ``pil_eval_transform``'s
+    numpy arithmetic exactly). Returns None when the native path can't
+    handle the input (caller falls back to PIL)."""
+    lib = _load()
+    if lib is None or not is_jpeg(data):
+        return None
+    out = np.empty((size, size, 3), np.uint8)
+    buf = np.frombuffer(data, np.uint8)
+    rc = lib.ip_decode_eval_u8(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data), size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         int(bool(dct_scale)),
     )
     return out if rc == 0 else None
@@ -190,6 +220,46 @@ def decode_eval_batch(datas, size: int, mean, std, n_threads: int = 0,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         len(idx), size, _fvec(mean), _fvec(std), n_threads,
         sub.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(bool(dct_scale)),
+    )
+    for j, i in enumerate(idx):
+        if status[j] == 0:
+            out[i] = sub[j]
+            ok[i] = True
+    return out, ok
+
+
+def decode_eval_batch_u8(datas, size: int, n_threads: int = 0,
+                         dct_scale: bool = False):
+    """List of JPEG byte strings -> (uint8 [N, size, size, 3], ok mask).
+
+    The uint8-boundary batch decode (see :func:`decode_eval_u8`): one C
+    call for the whole batch via the in-library thread pool. Entries with
+    ok=False are zero-filled; the caller decodes those via PIL.
+    """
+    lib = _load()
+    n = len(datas)
+    out = np.zeros((n, size, size, 3), np.uint8)
+    ok = np.zeros(n, bool)
+    if lib is None or n == 0:
+        return out, ok
+    idx = [i for i, d in enumerate(datas) if is_jpeg(d)]
+    if not idx:
+        return out, ok
+    blob = b"".join(datas[i] for i in idx)
+    offsets = np.zeros(len(idx) + 1, np.uint64)
+    np.cumsum([len(datas[i]) for i in idx], out=offsets[1:])
+    buf = np.frombuffer(blob, np.uint8)
+    sub = np.empty((len(idx), size, size, 3), np.uint8)
+    status = np.empty(len(idx), np.int32)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 8, 16)
+    lib.ip_decode_eval_batch_u8(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(idx), size, n_threads,
+        sub.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         int(bool(dct_scale)),
     )

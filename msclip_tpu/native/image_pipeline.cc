@@ -243,9 +243,12 @@ inline double uniform01(uint64_t* s) {
   return (splitmix64(s) >> 11) * (1.0 / 9007199254740992.0);
 }
 
-int decode_eval_impl(const uint8_t* data, size_t len, int size,
-                     const float* mean, const float* stdv, float* out,
-                     int dct_scale) {
+// Decode + resize-short-side + center-crop to a uint8 [size, size, 3]
+// buffer — the stage shared by the fp32 path (which then normalizes
+// host-side) and the uint8-boundary path (which ships the crop to the
+// device and normalizes in-graph; 4x smaller host->device payload).
+int decode_eval_crop_u8(const uint8_t* data, size_t len, int size,
+                        uint8_t* out, int dct_scale) {
   std::vector<uint8_t> img;
   int w, h;
   if (!decode_jpeg(data, len, &img, &w, &h, dct_scale ? size : 0)) return 1;
@@ -270,12 +273,20 @@ int decode_eval_impl(const uint8_t* data, size_t len, int size,
   // half-to-even, matching Python exactly.
   int left = static_cast<int>(std::rint((nw - size) / 2.0));
   int top = static_cast<int>(std::rint((nh - size) / 2.0));
-  std::vector<uint8_t> crop(static_cast<size_t>(size) * size * 3);
   for (int y = 0; y < size; ++y)
-    std::memcpy(crop.data() + static_cast<size_t>(y) * size * 3,
+    std::memcpy(out + static_cast<size_t>(y) * size * 3,
                 resized.data() +
                     (static_cast<size_t>(y + top) * nw + left) * 3,
                 static_cast<size_t>(size) * 3);
+  return 0;
+}
+
+int decode_eval_impl(const uint8_t* data, size_t len, int size,
+                     const float* mean, const float* stdv, float* out,
+                     int dct_scale) {
+  std::vector<uint8_t> crop(static_cast<size_t>(size) * size * 3);
+  if (decode_eval_crop_u8(data, len, size, crop.data(), dct_scale))
+    return 1;
   normalize_out(crop.data(), size, mean, stdv, out);
   return 0;
 }
@@ -288,6 +299,15 @@ int ip_decode_eval(const uint8_t* data, size_t len, int size,
                    const float* mean, const float* stdv, float* out,
                    int dct_scale) {
   return decode_eval_impl(data, len, size, mean, stdv, out, dct_scale);
+}
+
+// uint8-boundary variant: JPEG -> uint8 [size, size, 3] center crop (no
+// normalize — that runs in-graph on device, where XLA fuses it into the
+// first conv). Same resize/crop semantics as ip_decode_eval; the payload
+// crossing the host->device link is 4x smaller than fp32.
+int ip_decode_eval_u8(const uint8_t* data, size_t len, int size,
+                      uint8_t* out, int dct_scale) {
+  return decode_eval_crop_u8(data, len, size, out, dct_scale);
 }
 
 // torchvision RandomResizedCrop(size, scale=(smin,smax), ratio=(rmin,rmax))
@@ -371,6 +391,31 @@ int ip_decode_eval_batch(const uint8_t* jpegs, const uint64_t* offsets,
           jpegs + offsets[i], static_cast<size_t>(offsets[i + 1] - offsets[i]),
           size, mean, stdv, out + static_cast<size_t>(i) * size * size * 3,
           dct_scale);
+      status[i] = rc;
+      if (rc) failures.fetch_add(1);
+    }
+  };
+  int nt = std::max(1, std::min(n_threads, n));
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(work);
+  for (auto& t : threads) t.join();
+  return failures.load();
+}
+
+// Batched uint8-boundary decode (thread pool, same contract as
+// ip_decode_eval_batch but emitting uint8 crops).
+int ip_decode_eval_batch_u8(const uint8_t* jpegs, const uint64_t* offsets,
+                            int n, int size, int n_threads, uint8_t* out,
+                            int32_t* status, int dct_scale) {
+  std::atomic<int> next(0), failures(0);
+  auto work = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int rc = decode_eval_crop_u8(
+          jpegs + offsets[i], static_cast<size_t>(offsets[i + 1] - offsets[i]),
+          size, out + static_cast<size_t>(i) * size * size * 3, dct_scale);
       status[i] = rc;
       if (rc) failures.fetch_add(1);
     }

@@ -132,22 +132,13 @@ def pil_to_uint8(image, size: int = 224) -> np.ndarray:
     Resize-short-side + CenterCrop semantics, PIL bicubic); the /255 +
     ImageNet normalize runs inside the exported graph, so
     ``graph(pil_to_uint8(img))`` equals
-    ``encode_image(pil_eval_transform(img))`` bit-for-bit.
+    ``encode_image(pil_eval_transform(img))`` bit-for-bit. (Alias of
+    :func:`msclip_tpu.data.transforms.pil_eval_uint8` — the same uint8
+    boundary now also feeds the native eval/bench paths.)
     """
-    from PIL import Image
+    from ..data.transforms import pil_eval_uint8
 
-    if image.mode != "RGB":
-        image = image.convert("RGB")
-    w, h = image.size
-    if w <= h:
-        new_w, new_h = size, int(size * h / w)
-    else:
-        new_w, new_h = int(size * w / h), size
-    image = image.resize((new_w, new_h), Image.BICUBIC)
-    left = int(round((new_w - size) / 2.0))
-    top = int(round((new_h - size) / 2.0))
-    image = image.crop((left, top, left + size, top + size))
-    return np.asarray(image, dtype=np.uint8)
+    return pil_eval_uint8(image, size)
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,14 @@ def apply_platform_override() -> None:
 
         jax.config.update("jax_platforms", plat)
     enable_compile_cache(os.environ.get("MSCLIP_COMPILE_CACHE"))
+    if os.environ.get("MSCLIP_DEBUG_NANS") == "1":
+        # env-var twin of TRAIN.DETECT_ANOMALY (which tools/train.py also
+        # wires): NaN checking on every CLI entry point without a config
+        # edit — the debugging knob the reference gets from
+        # torch.autograd.set_detect_anomaly (lib/config/default.py:151)
+        from .summary import debug_nans
+
+        debug_nans(True)
 
 
 def enable_compile_cache(cache_dir) -> None:

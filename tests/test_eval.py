@@ -95,6 +95,66 @@ def test_run_zero_shot_synthetic():
     assert stats["n_images"] == 16
 
 
+def test_run_zero_shot_uint8_boundary_matches_pil(tmp_path, monkeypatch):
+    """End-to-end uint8-boundary wiring: a native ImageFolder dataset
+    (emits_uint8) evaluated through run_zero_shot must reproduce the PIL
+    fp32 path EXACTLY — the uint8 crop + in-graph normalize is
+    bit-identical to host-side normalize (data/transforms.py). PNG inputs
+    pin the pixels themselves (the PIL-uint8 fallback inside the native
+    dataset), isolating the boundary/wiring from JPEG-decoder rounding,
+    which test_native_pipeline.py covers separately."""
+    import os
+
+    from PIL import Image
+
+    from msclip_tpu.config import get_default_config
+    from msclip_tpu.data.datasets import ImageFolderDataset
+    from msclip_tpu.eval import run_zero_shot
+
+    rng = np.random.default_rng(0)
+    for ci, cls in enumerate(["cat", "dog"]):
+        os.makedirs(tmp_path / "imgs" / cls)
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 256, (48, 64, 3), np.uint8), "RGB"
+            ).save(tmp_path / "imgs" / cls / f"{i}.png")
+
+    cfg = get_default_config()
+    cfg.merge_from_dict({
+        "MODEL": {"SPEC": {
+            "EMBED_DIM": 32,
+            "VISION": {"MODEL": "vit", "PATCH_SIZE": 16, "WIDTH": 64,
+                        "LAYERS": 2},
+            "TEXT": {"TOKENIZER": "clip", "STYLE": "clip",
+                      "CONTEXT_LENGTH": 77, "VOCAB_SIZE": 49408,
+                      "WIDTH": 64, "HEADS": 1, "LAYERS": 2},
+        }},
+        "DATASET": {"DATASET": "folder-pets", "ROOT": str(tmp_path),
+                     "TEST_SET": "imgs"},
+        "TRAIN": {"IMAGE_SIZE": [32, 32]},
+        "TEST": {"IMAGE_SIZE": [32, 32], "BATCH_SIZE_PER_GPU": 8,
+                  "METRIC": "accuracy"},
+        "WORKERS": 1,
+    })
+
+    from msclip_tpu.data.transforms import pil_eval_transform
+
+    # 'folder-pets' has no curated prompt set -> resolve_prompts falls
+    # back to the dataset's own classnames (cat/dog) under the imagenet
+    # template ensemble
+    ds_u8 = ImageFolderDataset(str(tmp_path / "imgs"), native=True,
+                               image_size=32)
+    assert ds_u8.emits_uint8
+    v_u8, stats_u8 = run_zero_shot(cfg, dataset=ds_u8)
+    ds_pil = ImageFolderDataset(
+        str(tmp_path / "imgs"),
+        transform=lambda im: pil_eval_transform(im, size=32),
+    )
+    v_pil, stats_pil = run_zero_shot(cfg, dataset=ds_pil)
+    assert stats_u8["n_images"] == stats_pil["n_images"] == 8
+    assert v_u8 == v_pil
+
+
 def test_extract_features_sharded_matches_direct():
     """The local-device batch sharding in the feature loop
     (eval/device.py — batches split over the 8-device mesh) must be a

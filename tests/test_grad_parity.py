@@ -108,10 +108,15 @@ def _grad_pair(tiny_pair, label_smoothing):
     }
     loss_t = _torch_loss(ref, images, tokens, label_smoothing)
     loss_t.backward()
+    # every torch parameter must participate in the loss — a param with
+    # grad=None silently dropping out of `want` would hide a JAX-side
+    # wiring difference in EITHER direction (advisor r3); no exceptions
+    # are expected for this fully-wired tiny spec
+    ungradded = [n for n, p in ref.named_parameters() if p.grad is None]
+    assert not ungradded, f"torch params got no gradient: {ungradded[:5]}"
     want = {
         name: p.grad.detach().numpy()
         for name, p in ref.named_parameters()
-        if p.grad is not None
     }
     ref.eval()
     with torch.no_grad():
@@ -135,9 +140,18 @@ def test_training_gradients_match_torch_autograd(tiny_pair, label_smoothing):
     want, got, loss_t, loss_j = _grad_pair(tiny_pair, label_smoothing)
     assert abs(loss_t - loss_j) < 5e-5, (loss_t, loss_j)
 
-    # every torch parameter must have received a gradient
+    # key-set equivalence in BOTH directions (advisor r3: the forward
+    # check alone could never fire because the exporter emits every
+    # key-map entry): every torch param grad must be exported, and every
+    # exported key must name a real torch state_dict entry (params OR the
+    # BN-stat buffers the converter also carries) — a renamed/stale
+    # converter key shows up here
     missing = [n for n in want if n not in got]
     assert not missing, f"exported grad tree lacks {missing[:5]}"
+    ref = tiny_pair[0]
+    sd_keys = set(ref.state_dict().keys())
+    alien = [n for n in got if n not in sd_keys]
+    assert not alien, f"exporter emitted keys torch doesn't have: {alien[:5]}"
 
     bad = []
     for name, g_ref in want.items():

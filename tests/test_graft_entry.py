@@ -47,6 +47,35 @@ def test_dryrun_under_driver_env():
     assert "dryrun_multichip OK" in proc.stdout, proc.stdout
 
 
+def test_dryrun_watchdog_partial_summary():
+    """A dryrun killed by the driver budget must leave a readable tail:
+    the watchdog flushes the phases-passed summary BEFORE the external
+    SIGKILL lands (forced-timeout behavior, VERDICT r3 weak #4/#5)."""
+    code = (
+        "import time; import __graft_entry__ as g; "
+        "g._phase('mesh built'); g._phase('train steps done'); "
+        "g._start_watchdog(16.0); "  # fires at budget-15s = 1s from start
+        "time.sleep(3.0)"            # simulate a stalled compile
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, capture_output=True,
+        text=True, timeout=60,
+    )
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    assert "dryrun_multichip PARTIAL" in proc.stdout, proc.stdout
+    assert "mesh built" in proc.stdout and "train steps done" in proc.stdout
+    # and the happy path stays silent: watchdog cancelled on success
+    code_ok = (
+        "import time; import __graft_entry__ as g; "
+        "done = g._start_watchdog(16.0); done.set(); time.sleep(2.0)"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code_ok], cwd=REPO, capture_output=True,
+        text=True, timeout=60,
+    )
+    assert "PARTIAL" not in proc.stdout
+
+
 def test_dryrun_reexec_guard():
     """When the backend is already initialized with too few devices and the
     re-exec marker is set, dryrun fails loudly instead of looping."""

@@ -233,10 +233,14 @@ def test_decode_train_thread_deterministic():
     assert all(results), f"{results.count(False)} thread mismatches"
 
 
-def test_image_folder_native_path(tmp_path):
+def test_image_folder_native_path(tmp_path, monkeypatch):
     from PIL import Image
 
     from msclip_tpu.data.datasets import ImageFolderDataset
+
+    # legacy host-side fp32 normalize mode (the uint8-boundary default is
+    # covered by test_image_folder_native_u8)
+    monkeypatch.setenv("MSCLIP_NATIVE_U8", "0")
 
     for cls in ("a", "b"):
         os.makedirs(tmp_path / cls)
@@ -291,6 +295,109 @@ def test_dct_scaled_decode_matches_pil_draft():
                       dct_scale=True)
     b = N.decode_eval(small, 224, IMAGENET_MEAN, IMAGENET_STD)
     np.testing.assert_array_equal(a, b)
+
+
+def test_decode_eval_u8_crop_matches_pil_uint8():
+    """The uint8-boundary decode must produce the same center crop as
+    PIL's (pil_eval_uint8 / serve.pil_to_uint8) within JPEG-decoder
+    rounding — this is the pixel-equality contract of VERDICT r3 #2."""
+    from PIL import Image
+
+    from msclip_tpu.data.transforms import pil_eval_uint8
+
+    for wh in [(320, 240), (200, 305), (1024, 768)]:
+        data = _jpeg_bytes(*wh, seed=sum(wh))
+        got = N.decode_eval_u8(data, 224)
+        assert got is not None and got.dtype == np.uint8
+        ref = pil_eval_uint8(Image.open(io.BytesIO(data)))
+        diff = np.abs(got.astype(np.int16) - ref.astype(np.int16))
+        # 1 uint8 step ~ the 0.02 normalized-unit budget of
+        # test_eval_matches_pil; same decoder-rounding envelope
+        assert diff.mean() < 1.2, (wh, diff.mean())
+        assert np.quantile(diff, 0.999) < 9, (wh, np.quantile(diff, 0.999))
+
+
+def test_normalize_uint8_bit_identical_to_fp32_path():
+    """uint8 crop + in-graph normalize must equal the host-side fp32
+    transform BIT-FOR-BIT (same fp32 ops in the same order) — the uint8
+    boundary loses nothing; and the native fp32 decode (which multiplies
+    by 1/std instead of dividing) stays within 1 ulp of it."""
+    from PIL import Image
+
+    from msclip_tpu.data.transforms import (normalize_uint8,
+                                            pil_eval_transform,
+                                            pil_eval_uint8)
+
+    data = _jpeg_bytes(320, 240, seed=3)
+    img = Image.open(io.BytesIO(data))
+    fp32 = pil_eval_transform(img)
+    u8 = pil_eval_uint8(img)
+    via_u8 = np.asarray(normalize_uint8(u8, IMAGENET_MEAN, IMAGENET_STD))
+    np.testing.assert_array_equal(via_u8, fp32)
+
+    # native u8 -> in-graph normalize vs native fp32 decode: same pixels,
+    # multiply-by-inverse vs divide -> <= 1 ulp
+    nat_u8 = N.decode_eval_u8(data, 224)
+    nat_fp32 = N.decode_eval(data, 224, IMAGENET_MEAN, IMAGENET_STD)
+    np.testing.assert_array_equal(nat_u8, pil_u8_of_native(nat_fp32))
+    via_nat = np.asarray(
+        normalize_uint8(nat_u8, IMAGENET_MEAN, IMAGENET_STD)
+    )
+    np.testing.assert_allclose(via_nat, nat_fp32, rtol=1e-6, atol=1e-6)
+
+
+def pil_u8_of_native(nat_fp32):
+    """Invert the native fp32 normalize to recover its uint8 pixels
+    (exact: the normalize is affine per channel and the inputs are
+    integers/255)."""
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    return np.rint((nat_fp32 * std + mean) * 255.0).astype(np.uint8)
+
+
+def test_decode_eval_batch_u8_and_fallback():
+    datas = [_jpeg_bytes(120, 90, seed=i) for i in range(5)]
+    datas[2] = b"\x89PNG not a jpeg"
+    out, ok = N.decode_eval_batch_u8(datas, 224, n_threads=4)
+    assert out.shape == (5, 224, 224, 3) and out.dtype == np.uint8
+    assert list(ok) == [True, True, False, True, True]
+    for i in (0, 1, 3, 4):
+        np.testing.assert_array_equal(out[i], N.decode_eval_u8(datas[i],
+                                                               224))
+    assert not out[2].any()
+
+
+def test_image_folder_native_u8(tmp_path, monkeypatch):
+    """Native ImageFolder emits uint8 crops by default (emits_uint8=True,
+    PIL fallback included so batches stay one dtype); MSCLIP_NATIVE_U8=0
+    restores the legacy fp32 behavior."""
+    from PIL import Image
+
+    from msclip_tpu.data.datasets import ImageFolderDataset
+    from msclip_tpu.data.transforms import normalize_uint8
+
+    os.makedirs(tmp_path / "a")
+    with open(tmp_path / "a" / "x.jpg", "wb") as f:
+        f.write(_jpeg_bytes(100, 80, seed=0))
+    Image.fromarray(np.full((50, 60, 3), 7, np.uint8), "RGB").save(
+        tmp_path / "a" / "y.png"
+    )
+
+    ds = ImageFolderDataset(str(tmp_path), native=True)
+    assert ds.emits_uint8
+    ds_pil = ImageFolderDataset(str(tmp_path))
+    for i in range(2):
+        img_u8, _ = ds[i]
+        assert img_u8.dtype == np.uint8 and img_u8.shape == (224, 224, 3)
+        normed = np.asarray(
+            normalize_uint8(img_u8, IMAGENET_MEAN, IMAGENET_STD)
+        )
+        assert np.abs(normed - ds_pil[i][0]).mean() < 0.03
+
+    monkeypatch.setenv("MSCLIP_NATIVE_U8", "0")
+    ds_fp32 = ImageFolderDataset(str(tmp_path), native=True)
+    assert not ds_fp32.emits_uint8
+    assert ds_fp32[0][0].dtype == np.float32
 
 
 def test_dct_scaled_batch_and_train():

@@ -199,3 +199,24 @@ print(float(f(jnp.eye(64))))
     assert {p.name for p in after} == {p.name for p in entries}
     for p in after:
         assert p.stat().st_mtime_ns == mtimes[p], "cache entry rewritten"
+
+
+def test_detect_anomaly_knobs(monkeypatch):
+    """TRAIN.DETECT_ANOMALY / MSCLIP_DEBUG_NANS=1 must actually flip
+    jax_debug_nans (the key was silently inert in r3 — VERDICT #3), and
+    the enabled sanitizer must raise on a NaN inside jit."""
+    from msclip_tpu.utils.platform import apply_platform_override
+    from msclip_tpu.utils.summary import debug_nans
+
+    assert not jax.config.jax_debug_nans
+    monkeypatch.setenv("MSCLIP_DEBUG_NANS", "1")
+    try:
+        apply_platform_override()  # the shared CLI startup path
+        assert jax.config.jax_debug_nans
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: jnp.log(x) * 0.0 + jnp.sqrt(x))(
+                jnp.float32(-1.0)
+            ).block_until_ready()
+    finally:
+        debug_nans(False)
+    assert not jax.config.jax_debug_nans

@@ -52,6 +52,15 @@ def main():
     out_dir = create_logger(config, args.cfg, "train")
     logging.info(f"=> devices: {jax.devices()}")
 
+    if config.TRAIN.DETECT_ANOMALY:
+        # reference lib/config/default.py:151 (torch autograd anomaly
+        # mode); the JAX analogue re-runs NaN-producing jit computations
+        # de-optimized and raises at the faulting primitive
+        from msclip_tpu.utils.summary import debug_nans
+
+        debug_nans(True)
+        logging.info("=> TRAIN.DETECT_ANOMALY: jax_debug_nans enabled")
+
     model = build_model(config)
     spec = model.spec
     dataset = make_train_dataset(config)
