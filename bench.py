@@ -184,8 +184,12 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
     encode_image + 1k-class logits, host decode overlapped with device
     compute (double-buffered dispatch). Reported numbers:
 
-      jpeg_eval_ips        end-to-end images/sec (host-bound on few-core
-                           hosts; the uint8 headline is the device bound)
+      jpeg_eval_ips        end-to-end images/sec. On THIS sandbox it is
+                           transfer-bound: the 150 KB/img upload streams
+                           at the tunnel's ~25 MB/s (~160 img/s ceiling;
+                           measured breakdown in PARITY.md). On a real
+                           host (PCIe) it is decode-bound —
+                           jpeg_decode_ips_core x cores.
       jpeg_decode_ips_core single-thread native uint8 decode rate,
                            img/s/core (x cores = a host's feed ceiling)
       jpeg_decode_ips_core_full  same without DCT-scaled decode
@@ -246,7 +250,16 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
             N.decode_eval_u8(d, 224, dct_scale=dct)
         out[key] = round(n_timed / (time.perf_counter() - t0), 1)
 
-    # end-to-end: decode batch i+1 on the host while batch i computes
+    # end-to-end, 3-stage pipeline: a background thread decodes batch
+    # i+1 (the ctypes call releases the GIL, and the C++ pool is
+    # CPU-bound) while the main thread waits on batch i's host->device
+    # transfer (socket I/O on the tunnel — near-zero CPU) and batch i-1
+    # computes on the device. r4 fix: the previous loop serialized
+    # decode with the transfer, capping the measured rate at
+    # 1/(decode+transfer) ≈ 103 img/s instead of the decode bound
+    # (~175 img/s/core); production eval already overlaps these via the
+    # loader's run-ahead workers (data/loader.py), so the bench was
+    # underselling the real path.
     def host_decode():
         imgs, ok = N.decode_eval_batch_u8(datas, 224, dct_scale=True)
         assert ok.all()
@@ -254,11 +267,25 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
 
     host_decode()  # warm
     int(logits_top1(params, classifier, jnp.asarray(host_decode())))  # compile
+
+    import queue
+    import threading
+
+    decoded = queue.Queue(maxsize=2)
+
+    def producer():
+        for _ in range(n_batches):
+            decoded.put(host_decode())
+        decoded.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
     t0 = time.perf_counter()
     pending = None
-    for _ in range(n_batches):
-        images = jnp.asarray(host_decode())
-        dispatched = logits_top1(params, classifier, images)
+    while True:
+        imgs = decoded.get()
+        if imgs is None:
+            break
+        dispatched = logits_top1(params, classifier, jnp.asarray(imgs))
         if pending is not None:
             int(pending)
         pending = dispatched

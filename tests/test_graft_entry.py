@@ -90,3 +90,21 @@ def test_dryrun_reexec_guard():
             __graft_entry__.dryrun_multichip(16)
     finally:
         os.environ.pop("_MSCLIP_DRYRUN_REEXEC", None)
+
+
+@pytest.mark.slow
+def test_dryrun_multiproc_tier():
+    """2 REAL processes x 4 devices: ring InfoNCE == chunked == unsharded
+    truth with every collective hop crossing a process boundary (the
+    topology the reference always runs: one torch.distributed process
+    per GPU, ``lib/utils/comm.py:140-154``). Driver-visible via
+    MSCLIP_DRYRUN_MULTIPROC=1; here we call the tier directly."""
+    code = "import __graft_entry__ as g; g.dryrun_multiproc()"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=540,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
