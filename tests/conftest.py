@@ -15,6 +15,24 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache, shared across tests, subprocess CLI tests
+# (they inherit the env var and route through apply_platform_override),
+# and suite re-runs: XLA CPU compiles dominate the suite's wall time
+# (~35 min cold solo; the two big CLI tests alone are ~9 min of fresh
+# subprocess compiles). MSCLIP_TEST_COMPILE_CACHE=0 disables; a test
+# that needs its own cache dir just sets MSCLIP_COMPILE_CACHE in its
+# subprocess env as before.
+_cache = os.environ.get(
+    "MSCLIP_TEST_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "msclip_tpu",
+                 "test_jax_cache"),
+)
+if _cache and _cache != "0":
+    from msclip_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache(_cache)
+    os.environ.setdefault("MSCLIP_COMPILE_CACHE", _cache)
+
 import pytest  # noqa: E402
 
 
