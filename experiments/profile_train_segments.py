@@ -12,7 +12,8 @@ chained K times inside one jit'd lax.scan (tunnel RTT paid once):
 Derived: bwd = (fwd+bwd) - fwd; optimizer = step - (fwd+bwd).
 
 Usage: python experiments/profile_train_segments.py [B] [K]
-Env: PROF_MODEL, PROF_PALLAS (as profile_train.py).
+Env: PROF_MODEL, PROF_PALLAS (as profile_train.py), PROF_CONV_LAYOUT,
+PROF_SEGMENTS (comma subset, e.g. "fwd_img,fb_img").
 """
 
 from __future__ import annotations
@@ -74,6 +75,7 @@ def main():
                                     f"experiments/model/{model_yaml}.yaml"))
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.TPU.USE_PALLAS = os.environ.get("PROF_PALLAS", "1") != "0"
+    cfg.TPU.CONV_LAYOUT = os.environ.get("PROF_CONV_LAYOUT", "NHWC")
     spec = spec_from_config(cfg)
     model = MSClipModel(spec)
 
@@ -162,13 +164,26 @@ def main():
         )
         return c, loss + gs * 0.0
 
-    t_img = scan_timed("fwd_img", fwd_img, jnp.zeros(()), A, K)
-    t_txt = scan_timed("fwd_txt", fwd_txt, jnp.zeros(()), A, K)
-    t_fwd = scan_timed("fwd", fwd, jnp.zeros(()), A, K)
-    t_fb = scan_timed("fwd+bwd", fwd_bwd, jnp.zeros(()), A, K)
-    t_fb_img = scan_timed("fb_img", fwd_bwd_img, jnp.zeros(()), A, K)
-    t_fb_txt = scan_timed("fb_txt", fwd_bwd_txt, jnp.zeros(()), A, K)
-    t_full = scan_timed("step", full, state, A, K)
+    # PROF_SEGMENTS="fwd_img,fb_img" runs a subset (each segment is its
+    # own multi-minute TPU compile; layout/tile A-B comparisons only
+    # need the towers). Default: all.
+    want = os.environ.get("PROF_SEGMENTS", "")
+    sel = set(s.strip() for s in want.split(",") if s.strip())
+
+    def maybe(name, fn, carry):
+        if sel and name not in sel:
+            return None
+        return scan_timed(name, fn, carry, A, K)
+
+    t_img = maybe("fwd_img", fwd_img, jnp.zeros(()))
+    t_txt = maybe("fwd_txt", fwd_txt, jnp.zeros(()))
+    t_fwd = maybe("fwd", fwd, jnp.zeros(()))
+    t_fb = maybe("fwd+bwd", fwd_bwd, jnp.zeros(()))
+    t_fb_img = maybe("fb_img", fwd_bwd_img, jnp.zeros(()))
+    t_fb_txt = maybe("fb_txt", fwd_bwd_txt, jnp.zeros(()))
+    t_full = maybe("step", full, state)
+    if sel:
+        return
     print(f"per-tower bwd: img {t_fb_img - t_img:.2f} ms "
           f"({(t_fb_img - t_img) / t_img:.1f}x its fwd), "
           f"txt {t_fb_txt - t_txt:.2f} ms "
