@@ -1,10 +1,11 @@
-"""Measure the ZeRO-1 memory claim (VERDICT r2 weak #2).
+"""Measure the ZeRO-1 and FSDP (ZeRO-3 analogue) memory claims.
 
-Compiles the mesh train step with TPU.ZERO1 on/off on a forced 8-device
-CPU mesh and reports XLA's own per-device memory analysis (argument +
-output + temp bytes) plus the literal per-device bytes of the optimizer
-state. If XLA re-gathered the moments every step, the temp/argument
-numbers would erase the win — this prints the evidence either way.
+Compiles the mesh train step with TPU.ZERO1 / TPU.FSDP on a forced
+8-device CPU mesh and reports the literal per-device bytes of params and
+optimizer state before and after a real step. If XLA re-gathered the
+moments (or, under FSDP, re-replicated the params) every step, the
+post-step numbers would erase the win — this prints the evidence either
+way.
 
     python experiments/zero1_memory.py [n_devices]
 """
@@ -47,12 +48,18 @@ def tree_device_bytes(tree) -> int:
     return total
 
 
-def build(zero1: bool, mesh, model, cfg, spec, batch=16):
-    params = shard_params(model.init(jax.random.PRNGKey(0)), mesh)
+def build(mode: str, mesh, model, cfg, spec, batch=16):
+    params = model.init(jax.random.PRNGKey(0))
+    if mode == "fsdp":
+        from msclip_tpu.parallel import shard_params_fsdp
+
+        params = shard_params_fsdp(params, mesh)
+    else:
+        params = shard_params(params, mesh)
     tx, _ = build_optimizer(cfg, params, spec, steps_per_epoch=100)
     state = init_train_state(model, tx, params=params)
     opt_sh = None
-    if zero1:
+    if mode == "zero1":
         opt_sh = optstate_shardings(mesh, state.opt_state)
         state = state._replace(
             opt_state=jax.device_put(state.opt_state, opt_sh)
@@ -87,15 +94,16 @@ def main():
     n = jax.device_count()
     print(f"mesh: data={n}, model=1; full b32-yfcc-msclips geometry")
 
-    for zero1 in (False, True):
-        state, state2 = build(zero1, mesh, model, cfg, spec)
+    for mode in ("replicated", "zero1", "fsdp"):
+        state, state2 = build(mode, mesh, model, cfg, spec)
         pb = tree_device_bytes(state.params)
+        pb2 = tree_device_bytes(state2.params)
         ob = tree_device_bytes(state.opt_state)
         ob2 = tree_device_bytes(state2.opt_state)
         print(
-            f"ZERO1={zero1}: params {pb / 1e6:.1f} MB/dev, "
-            f"opt_state {ob / 1e6:.1f} MB/dev (after step: "
-            f"{ob2 / 1e6:.1f} MB/dev)"
+            f"{mode:10s}: params {pb / 1e6:.1f} MB/dev (after step: "
+            f"{pb2 / 1e6:.1f}), opt_state {ob / 1e6:.1f} MB/dev "
+            f"(after step: {ob2 / 1e6:.1f})"
         )
 
 

@@ -203,6 +203,10 @@ def get_default_config() -> CfgNode:
     c.TPU.REMAT = False               # jax.checkpoint on trunk blocks
     c.TPU.ZERO1 = False               # shard optimizer state over 'data'
                                       # (TPU-native DeepSpeed ZeRO stage 1)
+    c.TPU.FSDP = False                # shard params (+moments, inherited)
+                                      # over 'data': ZeRO-3/FSDP analogue,
+                                      # XLA all-gathers weights at use
+                                      # (parallel/mesh.py)
     c.TPU.INT8_EVAL = False           # W8A8 trunk GEMMs at eval
                                       # (models/quantize.py; int8 MXU)
     c.TPU.SEED = 0                    # rng seed: init, DropPath, loaders

@@ -76,12 +76,21 @@ def main():
 
     mesh = mesh_from_config(config)
     params = model.init(jax.random.PRNGKey(config.TPU.SEED))
-    params = shard_params(params, mesh)
+    if config.TPU.FSDP:
+        # ZeRO-3/FSDP analogue: params stored partitioned over 'data';
+        # optax moment init inherits the leaf shardings, so the whole
+        # train state is partitioned and the sharding-preserving step
+        # keeps it that way (no opt_shardings pin needed).
+        from msclip_tpu.parallel import shard_params_fsdp
+
+        params = shard_params_fsdp(params, mesh)
+    else:
+        params = shard_params(params, mesh)
     tx, _ = build_optimizer(config, params, spec, steps_per_epoch)
     state = init_train_state(model, tx, params=params,
                              ema_decay=config.TRAIN.EMA_DECAY)
     opt_shardings = None
-    if config.TPU.ZERO1:
+    if config.TPU.ZERO1 and not config.TPU.FSDP:
         # ZeRO-1: AdamW moments sharded over the data axis (the TPU
         # analogue of the reference's DEEPSPEED zero_optimization stub)
         from msclip_tpu.parallel import optstate_shardings
