@@ -27,6 +27,16 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from msclip_tpu.utils.platform import enable_compile_cache
+
+# full-geometry fp32 CPU train-step compiles are multi-minute on a
+# 1-vCPU host; the persistent cache makes re-runs warm
+enable_compile_cache(os.environ.get(
+    "MSCLIP_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "msclip_tpu",
+                 "jax_cache"),
+))
+
 from msclip_tpu.config import get_default_config, update_config
 from msclip_tpu.models import MSClipModel, spec_from_config
 from msclip_tpu.parallel import (
