@@ -20,9 +20,80 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 BASELINE_IMG_PER_SEC = 10_000.0
+
+# Shared progress state for the budget watchdog: the headline is measured
+# FIRST, so losing it to an external kill during a later extra (observed
+# on a day of multi-minute tunnel outages: rc=124 with an empty tail)
+# wastes the whole run. The watchdog flushes the one JSON line with
+# whatever has been measured before the budget lands, and stage prints go
+# to STDERR so a killed run's tail is self-diagnosing (stdout stays
+# exactly one JSON line).
+_T0 = time.monotonic()
+_STATE: dict = {"ips": None, "extra": {}, "model": "", "done": False,
+                "stage": "start"}
+
+
+def _stage(name: str) -> None:
+    _STATE["stage"] = name
+    print(f"[bench +{time.monotonic() - _T0:5.0f}s] {name}",
+          file=sys.stderr, flush=True)
+
+
+def _emit(partial_reason: str | None = None) -> None:
+    if _STATE.get("emitted"):  # exactly one JSON line, ever
+        return
+    _STATE["emitted"] = True
+    ips = _STATE["ips"]
+    extra = dict(_STATE["extra"])
+    if partial_reason:
+        extra["partial"] = partial_reason
+    if ips is None:
+        print(json.dumps({
+            "metric": "zero-shot eval throughput (headline not reached)",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "extra": extra,
+        }), flush=True)
+        return
+    print(json.dumps({
+        "metric": (
+            f"zero-shot eval throughput, MS-CLIP-S {_STATE['model']} "
+            "@224 bf16 (uint8 in, device normalize, "
+            "encode_image + 1k-class logits)"
+        ),
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 4),
+        "extra": extra,
+    }), flush=True)
+
+
+def _start_budget_watchdog() -> None:
+    """``BENCH_BUDGET`` seconds (default 3300; 0 disables): ~20 s before
+    the budget, if the final JSON has not been printed, emit it with the
+    stages measured so far and exit 0 — a partial-but-parseable artifact
+    beats rc=124 with no JSON."""
+    budget = float(os.environ.get("BENCH_BUDGET", "3300"))
+    if budget <= 0:
+        return
+    import threading
+
+    def run():
+        deadline = _T0 + max(30.0, budget - 20.0)
+        while not _STATE["done"]:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                break
+            time.sleep(min(5.0, left))
+        if not _STATE["done"]:
+            _emit(f"BENCH_BUDGET {budget:.0f}s approaching during "
+                  f"stage '{_STATE['stage']}'")
+            os._exit(0)
+
+    threading.Thread(target=run, daemon=True).start()
 
 
 def _build(model_yaml: str):
@@ -344,12 +415,16 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     n_iters = int(os.environ.get("BENCH_ITERS", "32"))
     model_yaml = os.environ.get("BENCH_MODEL", "b32-yfcc-msclips")
+    _STATE["model"] = model_yaml
+    _start_budget_watchdog()
 
     # preflight (BENCH_PREFLIGHT=0 skips): don't start into an outage
     if os.environ.get("BENCH_PREFLIGHT", "1") != "0":
+        _stage("preflight device probe")
         max_wait = float(os.environ.get("BENCH_MAX_WAIT", "7200"))
         reachable, waited = _wait_for_device(max_wait)
         if not reachable:
+            _STATE["done"] = True
             print(json.dumps({
                 "metric": "zero-shot eval throughput (device unreachable)",
                 "value": 0.0, "unit": "images/sec/chip",
@@ -360,28 +435,31 @@ def main():
             }))
             return
 
-    ips = None
+    extra = _STATE["extra"]
     for attempt in range(3):
         try:
-            ips = _bench_eval(model_yaml, batch, n_iters)
+            _stage(f"headline {model_yaml} eval (attempt {attempt + 1})")
+            _STATE["ips"] = _bench_eval(model_yaml, batch, n_iters)
             break
         except Exception:
             if attempt == 2:
                 raise
             # transient mid-run outage: wait for the device and retry
+            _stage("headline failed; waiting out a possible outage")
             _wait_for_device(float(os.environ.get("BENCH_MAX_WAIT",
                                                   "7200")))
 
-    extra = {}
     if os.environ.get("BENCH_QUICK", "0") == "0":
         if model_yaml != "b16-yfcc-msclips":  # skip if it IS the headline
             try:
+                _stage("extra: b16 eval")
                 extra["b16_eval_ips"] = round(
                     _bench_eval("b16-yfcc-msclips", batch, n_iters), 1
                 )
             except Exception as e:  # never let an extra kill the headline
                 extra["b16_eval_error"] = repr(e)[:200]
         try:
+            _stage("extra: b32 train step")
             extra["b32_train_sps"] = round(
                 _bench_train("b32-yfcc-msclips", batch, 8), 1
             )
@@ -392,26 +470,14 @@ def main():
             # next to the uint8 headline (BENCH_JPEG=0 to skip; honors
             # BENCH_QUICK=1 like every other extra)
             try:
+                _stage("extra: JPEG-fed eval path")
                 extra.update(_bench_jpeg(model_yaml, batch,
                                          max(n_iters // 8, 2)))
             except Exception as e:
                 extra["jpeg_error"] = repr(e)[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"zero-shot eval throughput, MS-CLIP-S {model_yaml} "
-                    "@224 bf16 (uint8 in, device normalize, "
-                    "encode_image + 1k-class logits)"
-                ),
-                "value": round(ips, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 4),
-                "extra": extra,
-            }
-        )
-    )
+    _STATE["done"] = True
+    _emit()
 
 
 if __name__ == "__main__":

@@ -108,3 +108,33 @@ def test_dryrun_multiproc_tier():
         capture_output=True, text=True, timeout=540,
     )
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+
+
+def test_bench_budget_watchdog_flushes_json():
+    """bench.py under an external kill budget must still print its ONE
+    JSON line: the BENCH_BUDGET watchdog emits a parseable partial
+    artifact (naming the in-flight stage) and exits 0, instead of the
+    rc=124/empty-tail failure mode observed on tunnel-outage days."""
+    import json
+
+    env = dict(os.environ)
+    env.update({
+        "MSCLIP_PLATFORM": "cpu",
+        "BENCH_PREFLIGHT": "0",
+        "BENCH_BUDGET": "25",   # deadline clamps to 30 s from start
+        "BENCH_BATCH": "4",
+        "BENCH_ITERS": "2",
+    })
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, proc.stdout
+    out = json.loads(lines[0])
+    assert out["unit"] == "images/sec/chip"
+    assert "partial" in out["extra"], out
+    assert "stage" in out["extra"]["partial"], out
+    # stage prints ride stderr, keeping stdout a single JSON line
+    assert "[bench +" in proc.stderr, proc.stderr[-800:]
