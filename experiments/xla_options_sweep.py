@@ -39,7 +39,10 @@ from msclip_tpu.config import get_default_config, update_config
 
 CANDIDATES = [
     ("baseline", None),
+    ("vmem24m", {"xla_tpu_scoped_vmem_limit_kib": "24576"}),
     ("vmem32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
+    ("vmem40m", {"xla_tpu_scoped_vmem_limit_kib": "40960"}),
+    ("vmem48m", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
     ("vmem64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
     ("vmem96m", {"xla_tpu_scoped_vmem_limit_kib": "98304"}),
     ("no_lhs", {"xla_tpu_enable_latency_hiding_scheduler": "false"}),

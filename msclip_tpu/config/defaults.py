@@ -209,6 +209,11 @@ def get_default_config() -> CfgNode:
                                       # (parallel/mesh.py)
     c.TPU.INT8_EVAL = False           # W8A8 trunk GEMMs at eval
                                       # (models/quantize.py; int8 MXU)
+    c.TPU.XLA_VMEM_KIB = 0            # >0: xla_tpu_scoped_vmem_limit_kib
+                                      # for the train-step compile (32768
+                                      # measured +1.3% on b32 train;
+                                      # >=64 MB starves Pallas kernels —
+                                      # experiments/xla_options_sweep.py)
     c.TPU.SEED = 0                    # rng seed: init, DropPath, loaders
 
     return c

@@ -316,7 +316,7 @@ def make_train_step(spec, tx, mesh=None, sharded_loss=False,
                     donate: bool = True, label_smoothing: float = 0.0,
                     seed: int = 0, opt_shardings=None,
                     ring_loss: bool = False, freeze_bn: bool = False,
-                    accum_steps: int = 1):
+                    accum_steps: int = 1, compiler_options=None):
     """Build the jit-compiled train step.
 
     step(state, images, tokens) -> (state, metrics). The step derives a
@@ -329,6 +329,10 @@ def make_train_step(spec, tx, mesh=None, sharded_loss=False,
     opt_state)`` — without the pin, sharding propagation is free to emit a
     replicated opt-state output and silently erase the memory saving after
     the first step. Mesh path only.
+
+    ``compiler_options``: optional per-compile XLA options dict
+    (``utils.platform.xla_compiler_options``; ``TPU.XLA_VMEM_KIB``) —
+    must be None on non-TPU backends.
     """
     step_fn = make_step_core(
         spec, tx, mesh=mesh, sharded_loss=sharded_loss,
@@ -338,7 +342,8 @@ def make_train_step(spec, tx, mesh=None, sharded_loss=False,
     )
 
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else (),
+                       compiler_options=compiler_options)
 
     # Mesh path: commit the batch to the data axis and pin the output
     # state to the INPUT state's shardings. The step is
@@ -374,7 +379,8 @@ def make_train_step(spec, tx, mesh=None, sharded_loss=False,
                 return new_state, metrics
 
             cache["fn"] = jax.jit(
-                pinned, donate_argnums=(0,) if donate else ()
+                pinned, donate_argnums=(0,) if donate else (),
+                compiler_options=compiler_options,
             )
         images = _commit_batch(images, mesh, batch_sh)
         tokens = _commit_batch(tokens, mesh, batch_sh)

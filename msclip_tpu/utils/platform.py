@@ -34,6 +34,38 @@ def apply_platform_override() -> None:
         debug_nans(True)
 
 
+def xla_compiler_options(vmem_kib: int = 0):
+    """Per-compile XLA options for the hot jits, or ``None``.
+
+    ``xla_tpu_scoped_vmem_limit_kib`` caps the VMEM budget XLA's fusions
+    may claim; the measured sweep (`experiments/xla_options_sweep.py`,
+    v5e, b32 train step B=256) found 32768 KiB worth +1.3% while >=64 MB
+    LOSES (it starves the Pallas attention kernels into spills). Flags
+    set via the client ``XLA_FLAGS`` env never reach the tunnel-side
+    compiler, so these ride the PJRT compile options instead
+    (``jax.jit(..., compiler_options=...)``).
+
+    ``MSCLIP_XLA_VMEM_KIB`` overrides (0 disables). Returns ``None`` on
+    non-TPU backends — the CPU compiler rejects unknown TPU flags.
+    """
+    env = os.environ.get("MSCLIP_XLA_VMEM_KIB")
+    if env is not None:
+        try:
+            vmem_kib = int(env)
+        except ValueError:
+            vmem_kib = 0
+    if vmem_kib <= 0:
+        return None
+    import jax
+
+    try:
+        if jax.default_backend() != "tpu":
+            return None
+    except Exception:
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(vmem_kib)}
+
+
 def enable_compile_cache(cache_dir) -> None:
     """Persist compiled executables under ``cache_dir`` (no-op for
     falsy/"0"). Thresholds are zeroed so even fast-compiling programs

@@ -220,3 +220,29 @@ def test_detect_anomaly_knobs(monkeypatch):
     finally:
         debug_nans(False)
     assert not jax.config.jax_debug_nans
+
+
+def test_xla_compiler_options_backend_guard(monkeypatch):
+    """xla_compiler_options must return None on non-TPU backends (the CPU
+    compiler rejects unknown TPU flags) and honor MSCLIP_XLA_VMEM_KIB,
+    including the =0 kill switch."""
+    from msclip_tpu.utils import platform as plat
+
+    # tests run on the forced-CPU backend: always None, even when asked
+    assert plat.xla_compiler_options(32768) is None
+    monkeypatch.setenv("MSCLIP_XLA_VMEM_KIB", "32768")
+    assert plat.xla_compiler_options() is None
+
+    # pretend-TPU backend: the dict comes through, env wins over the arg
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert plat.xla_compiler_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "32768"
+    }
+    monkeypatch.setenv("MSCLIP_XLA_VMEM_KIB", "0")
+    assert plat.xla_compiler_options(32768) is None
+    monkeypatch.delenv("MSCLIP_XLA_VMEM_KIB")
+    assert plat.xla_compiler_options(24576) == {
+        "xla_tpu_scoped_vmem_limit_kib": "24576"
+    }

@@ -31,6 +31,7 @@ from msclip_tpu.train.averaging import swa_should_update, swa_update
 from msclip_tpu.train.optim import build_optimizer
 from msclip_tpu.train.trainer import init_train_state, make_train_step
 from msclip_tpu.utils.logging import create_logger
+from msclip_tpu.utils.platform import xla_compiler_options
 
 
 def parse_args():
@@ -161,6 +162,9 @@ def main():
             opt_shardings=opt_shardings,
             freeze_bn=freeze_bn,
             accum_steps=int(config.TPU.get("ACCUM_STEPS", 1)),
+            compiler_options=xla_compiler_options(
+                int(config.TPU.get("XLA_VMEM_KIB", 0))
+            ),
         )
 
     step_fn = _make_step()
