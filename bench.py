@@ -18,6 +18,7 @@ changes which model the headline measures.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -226,7 +227,14 @@ def _bench_train(model_yaml: str, batch: int, n_iters: int) -> float:
     tokens = jnp.zeros((batch, 77), jnp.int32).at[:, 0].set(49406)
     tokens = tokens.at[:, 1].set(320).at[:, 2].set(49407)
 
-    @jax.jit
+    # TPU.XLA_VMEM_KIB default: 24576 measured +1.5-1.8% (b32) / +0.5%
+    # (b16) on this step, neutral on eval (experiments/xla_options_sweep)
+    from msclip_tpu.utils.platform import xla_compiler_options
+
+    copts = xla_compiler_options(int(os.environ.get("BENCH_VMEM_KIB",
+                                                    "24576")))
+
+    @functools.partial(jax.jit, compiler_options=copts)
     def run(state, images, tokens):
         def body(st, i):
             st2, m = step(st, images + i.astype(images.dtype) * 1e-6,

@@ -209,11 +209,13 @@ def get_default_config() -> CfgNode:
                                       # (parallel/mesh.py)
     c.TPU.INT8_EVAL = False           # W8A8 trunk GEMMs at eval
                                       # (models/quantize.py; int8 MXU)
-    c.TPU.XLA_VMEM_KIB = 0            # >0: xla_tpu_scoped_vmem_limit_kib
-                                      # for the train-step compile (32768
-                                      # measured +1.3% on b32 train;
-                                      # >=64 MB starves Pallas kernels —
-                                      # experiments/xla_options_sweep.py)
+    c.TPU.XLA_VMEM_KIB = 24576        # xla_tpu_scoped_vmem_limit_kib for
+                                      # the train-step compile. Measured
+                                      # (experiments/xla_options_sweep.py,
+                                      # v5e): +1.5-1.8% b32 train, +0.5%
+                                      # b16 train, neutral eval; >=64 MB
+                                      # LOSES (starves Pallas kernels).
+                                      # 0 disables; TPU backends only.
     c.TPU.SEED = 0                    # rng seed: init, DropPath, loaders
 
     return c

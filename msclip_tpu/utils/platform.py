@@ -38,11 +38,12 @@ def xla_compiler_options(vmem_kib: int = 0):
     """Per-compile XLA options for the hot jits, or ``None``.
 
     ``xla_tpu_scoped_vmem_limit_kib`` caps the VMEM budget XLA's fusions
-    may claim; the measured sweep (`experiments/xla_options_sweep.py`,
-    v5e, b32 train step B=256) found 32768 KiB worth +1.3% while >=64 MB
-    LOSES (it starves the Pallas attention kernels into spills). Flags
-    set via the client ``XLA_FLAGS`` env never reach the tunnel-side
-    compiler, so these ride the PJRT compile options instead
+    may claim; the measured sweeps (`experiments/xla_options_sweep.py`,
+    v5e) found 24576 KiB worth +1.5-1.8% on the b32 train step and +0.5%
+    on b16 (neutral on eval), while >=64 MB LOSES (it starves the Pallas
+    attention kernels into spills). Flags set via the client
+    ``XLA_FLAGS`` env never reach the tunnel-side compiler, so these
+    ride the PJRT compile options instead
     (``jax.jit(..., compiler_options=...)``).
 
     ``MSCLIP_XLA_VMEM_KIB`` overrides (0 disables). Returns ``None`` on
