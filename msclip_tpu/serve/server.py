@@ -44,6 +44,18 @@ from .batcher import DynamicBatcher
 from .export import ServingModel, pil_to_uint8
 
 
+class _Httpd(ThreadingHTTPServer):
+    """socketserver's default listen backlog is 5 — a burst of concurrent
+    clients (measured: 24 simultaneous connects) overflows the accept
+    queue and the kernel RSTs the excess, so callers see
+    ConnectionResetError with nothing in the server log. A deep backlog
+    is exactly what a dynamic-batching server wants: connections queue in
+    the kernel while the batcher drains them in bucket-sized waves."""
+
+    request_queue_size = 256
+    daemon_threads = True
+
+
 def _decode_image(body: bytes, content_type: str, size: int) -> np.ndarray:
     """Request body -> uint8 [size, size, 3] crop."""
     if "npy" in content_type or body[:6] == b"\x93NUMPY":
@@ -80,9 +92,7 @@ class InferenceServer:
             max_wait_ms=max_wait_ms, name="text-batcher",
         )
         self._tokenizer = None
-        self._httpd = ThreadingHTTPServer(
-            (host, port), self._make_handler()
-        )
+        self._httpd = _Httpd((host, port), self._make_handler())
         self._thread = None
 
     # -- lifecycle -------------------------------------------------------

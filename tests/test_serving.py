@@ -478,3 +478,46 @@ def test_live_serving_cli(tmp_path):
     finally:
         proc.terminate()
         proc.wait(30)
+
+
+def test_concurrent_burst_no_resets(tiny_model):
+    """A burst of simultaneous connections must not be RST'd: socket-
+    server's default listen backlog is 5, so 24+ concurrent clients
+    overflowed the accept queue and saw ConnectionResetError with
+    nothing in the server log (observed live on TPU, r4). _Httpd deepens
+    the backlog; this drives 2x192 requests at 24-way concurrency and
+    also proves the dynamic batcher coalesces them (mean batch > 1)."""
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from msclip_tpu.serve import live_serving_model
+    from msclip_tpu.serve.server import InferenceServer
+
+    model, params = tiny_model
+    served = live_serving_model(model, params, buckets=(8,),
+                                image_size=SIZE)
+    server = InferenceServer(served, port=0, max_wait_ms=2.0).start()
+    host, port = server.address
+    url = f"http://{host}:{port}/v1/embed/image"
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (SIZE, SIZE, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    body = buf.getvalue()
+
+    def one(_):
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/npy"}
+        )
+        urllib.request.urlopen(req, timeout=60).read()
+        return 1
+
+    try:
+        for _ in range(2):
+            with ThreadPoolExecutor(24) as ex:
+                assert sum(ex.map(one, range(192))) == 192
+        stats = server._stats()["image"]
+        assert stats["requests"] == 384
+        assert stats["mean_batch"] > 1.0, stats
+    finally:
+        server.close()
