@@ -22,6 +22,7 @@ import functools
 import json
 import os
 import sys
+import threading
 import time
 
 BASELINE_IMG_PER_SEC = 10_000.0
@@ -36,6 +37,7 @@ BASELINE_IMG_PER_SEC = 10_000.0
 _T0 = time.monotonic()
 _STATE: dict = {"ips": None, "extra": {}, "model": "", "done": False,
                 "stage": "start"}
+_EMIT_LOCK = threading.Lock()  # watchdog thread vs main: exactly one line
 
 
 def _stage(name: str) -> None:
@@ -45,31 +47,50 @@ def _stage(name: str) -> None:
 
 
 def _emit(partial_reason: str | None = None) -> None:
-    if _STATE.get("emitted"):  # exactly one JSON line, ever
-        return
-    _STATE["emitted"] = True
-    ips = _STATE["ips"]
-    extra = dict(_STATE["extra"])
-    if partial_reason:
-        extra["partial"] = partial_reason
-    if ips is None:
+    # The lock covers the print too: the watchdog thread calls _emit and
+    # then os._exit(0), so it must not be able to kill the process while
+    # main is mid-write of its own line (truncated/doubled JSON).
+    with _EMIT_LOCK:
+        if _STATE.get("emitted"):  # exactly one JSON line, ever
+            return
+        _STATE["emitted"] = True
+        ips = _STATE["ips"]
+        extra = dict(_STATE["extra"])
+        if partial_reason:
+            extra["partial"] = partial_reason
+        if ips is None:
+            print(json.dumps({
+                "metric": "zero-shot eval throughput (headline not "
+                          "reached)",
+                "value": 0.0, "unit": "images/sec/chip",
+                "vs_baseline": 0.0,
+                "extra": extra,
+            }), flush=True)
+            return
         print(json.dumps({
-            "metric": "zero-shot eval throughput (headline not reached)",
-            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "metric": (
+                f"zero-shot eval throughput, MS-CLIP-S {_STATE['model']} "
+                "@224 bf16 (uint8 in, device normalize, "
+                "encode_image + 1k-class logits)"
+            ),
+            "value": round(ips, 1),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 4),
             "extra": extra,
         }), flush=True)
-        return
-    print(json.dumps({
-        "metric": (
-            f"zero-shot eval throughput, MS-CLIP-S {_STATE['model']} "
-            "@224 bf16 (uint8 in, device normalize, "
-            "encode_image + 1k-class logits)"
-        ),
-        "value": round(ips, 1),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 4),
-        "extra": extra,
-    }), flush=True)
+
+
+def _budget_max_wait() -> float:
+    """Outage-wait bound: ``BENCH_MAX_WAIT`` (default 7200 s), clamped to
+    what is left of ``BENCH_BUDGET`` — otherwise the watchdog's generic
+    partial artifact fires mid-wait and masks the specific
+    device-unreachable reason."""
+    max_wait = float(os.environ.get("BENCH_MAX_WAIT", "7200"))
+    budget = float(os.environ.get("BENCH_BUDGET", "3300"))
+    if budget > 0:
+        left = (_T0 + budget - 60.0) - time.monotonic()
+        max_wait = min(max_wait, max(30.0, left))
+    return max_wait
 
 
 def _start_budget_watchdog() -> None:
@@ -80,7 +101,6 @@ def _start_budget_watchdog() -> None:
     budget = float(os.environ.get("BENCH_BUDGET", "3300"))
     if budget <= 0:
         return
-    import threading
 
     def run():
         deadline = _T0 + max(30.0, budget - 20.0)
@@ -109,9 +129,12 @@ def _build(model_yaml: str):
         cfg, os.path.join(root, f"experiments/model/{model_yaml}.yaml")
     )
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-    # fused Pallas attention core is the default (BENCH_PALLAS=0 disables;
-    # explicit bool — the config's 'auto' would resolve to True on TPU)
-    cfg.TPU.USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") != "0"
+    # fused Pallas attention core is the default on TPU (BENCH_PALLAS=0
+    # disables); unset -> 'auto' so CPU runs (watchdog/CI tests under
+    # MSCLIP_PLATFORM=cpu) take the XLA path instead of crashing on the
+    # interpret-only Pallas lowering
+    _pallas_env = os.environ.get("BENCH_PALLAS")
+    cfg.TPU.USE_PALLAS = "auto" if _pallas_env is None else _pallas_env != "0"
     cfg.TPU.CONV_LAYOUT = os.environ.get("BENCH_CONV_LAYOUT", "NHWC")
     if os.environ.get("BENCH_FUSED_BLOCK", "0") != "0":
         cfg.TPU.USE_FUSED_BLOCK = True
@@ -429,18 +452,11 @@ def main():
     # preflight (BENCH_PREFLIGHT=0 skips): don't start into an outage
     if os.environ.get("BENCH_PREFLIGHT", "1") != "0":
         _stage("preflight device probe")
-        max_wait = float(os.environ.get("BENCH_MAX_WAIT", "7200"))
-        reachable, waited = _wait_for_device(max_wait)
+        reachable, waited = _wait_for_device(_budget_max_wait())
         if not reachable:
             _STATE["done"] = True
-            print(json.dumps({
-                "metric": "zero-shot eval throughput (device unreachable)",
-                "value": 0.0, "unit": "images/sec/chip",
-                "vs_baseline": 0.0,
-                "extra": {"error": f"TPU tunnel unreachable for "
-                                   f"{int(waited)}s; see BENCH_r02.json "
-                                   f"for the last healthy measurement"},
-            }))
+            _emit(f"TPU tunnel unreachable for {int(waited)}s; see the "
+                  f"last BENCH_r*.json for a healthy measurement")
             return
 
     extra = _STATE["extra"]
@@ -454,8 +470,7 @@ def main():
                 raise
             # transient mid-run outage: wait for the device and retry
             _stage("headline failed; waiting out a possible outage")
-            _wait_for_device(float(os.environ.get("BENCH_MAX_WAIT",
-                                                  "7200")))
+            _wait_for_device(_budget_max_wait())
 
     if os.environ.get("BENCH_QUICK", "0") == "0":
         if model_yaml != "b16-yfcc-msclips":  # skip if it IS the headline
@@ -489,4 +504,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:
+        # The one-JSON-line contract holds even when the headline dies on
+        # all retries: flush a partial artifact (stage + error), THEN
+        # re-raise so the exit code still says failure.
+        _emit(f"unhandled in stage '{_STATE['stage']}': {repr(e)[:200]}")
+        raise

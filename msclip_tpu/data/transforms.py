@@ -72,6 +72,24 @@ def normalize_uint8(images_u8, mean=IMAGENET_MEAN, std=IMAGENET_STD):
     )
 
 
+def dataset_normalizer(dataset):
+    """In-graph input stage matching what ``dataset`` emits.
+
+    uint8-boundary datasets (``emits_uint8`` — the native-decode eval
+    path) ship raw center crops across the host->device link and rely on
+    the consumer to run :func:`normalize_uint8` inside its jitted
+    program, with the STATS THE DATASET WAS BUILT WITH (``dataset.mean``
+    / ``dataset.std``). fp32 datasets already normalized on host ->
+    identity. Every tool that jits ``encode_image`` over loader batches
+    must route inputs through this (zero-shot, feature extraction,
+    retrieval, finetune) or raw 0-255 pixels reach the tower silently."""
+    if getattr(dataset, "emits_uint8", False):
+        mean = tuple(getattr(dataset, "mean", IMAGENET_MEAN))
+        std = tuple(getattr(dataset, "std", IMAGENET_STD))
+        return functools.partial(normalize_uint8, mean=mean, std=std)
+    return lambda x: x
+
+
 def pil_train_transform(image, size: int = 224,
                         mean=IMAGENET_MEAN, std=IMAGENET_STD,
                         scale=(0.08, 1.0),

@@ -32,10 +32,13 @@ def extract_features(model: MSClipModel, params, dataset, batch_size=256,
     ``batch_size`` is per chip; the loop shards each batch over all
     local devices (``eval/device.py``)."""
     from .device import local_batch_sharding
+    from ..data.transforms import dataset_normalizer
 
     n_local, sharding = local_batch_sharding()
+    # uint8-boundary datasets (native decode) normalize in-graph
+    pre = dataset_normalizer(dataset)
     encode = jax.jit(
-        lambda p, x: model.encode_image(p, x, normalize=normalize)
+        lambda p, x: model.encode_image(p, pre(x), normalize=normalize)
     )
     loader = BatchLoader(dataset, batch_size * n_local, workers=workers)
     feats, labels = [], []

@@ -30,7 +30,11 @@ def encode_corpus(model: MSClipModel, params, image_dataset,
     tokenizer = tokenizer or ClipTokenizer()
     n_local, sharding = local_batch_sharding()
     batch_size = batch_size * n_local  # per-chip -> per-dispatch
-    encode_img = jax.jit(lambda p, x: model.encode_image(p, x))
+    # uint8-boundary datasets (native decode) normalize in-graph
+    from ..data.transforms import dataset_normalizer
+
+    pre = dataset_normalizer(image_dataset)
+    encode_img = jax.jit(lambda p, x: model.encode_image(p, pre(x)))
     encode_txt = jax.jit(lambda p, t: model.encode_text(p, t))
 
     feats = []

@@ -248,25 +248,17 @@ def run_zero_shot(config, dataset=None, prompt_dataset: str | None = None):
     # normalize runs in-graph, where XLA fuses it into the first conv —
     # numerically identical to host-side fp32 normalize (the op order
     # matches pil_eval_transform exactly; see data/transforms.py).
-    emits_uint8 = bool(getattr(dataset, "emits_uint8", False))
-    if emits_uint8:
-        from ..data.transforms import normalize_uint8
+    from ..data.transforms import dataset_normalizer
 
-        norm_mean = tuple(config.INPUT.MEAN)
-        norm_std = tuple(config.INPUT.STD)
+    # stats come from the dataset itself (ctor mean/std — make_dataset
+    # passes config.INPUT there), so a dataset built with custom stats
+    # normalizes identically on the uint8 and fp32 paths
+    pre = dataset_normalizer(dataset)
 
-        @jax.jit
-        def logits_fn(params, weights, images):
-            feats = model.encode_image(
-                params, normalize_uint8(images, norm_mean, norm_std)
-            )
-            return 100.0 * feats @ weights
-    else:
-
-        @jax.jit
-        def logits_fn(params, weights, images):
-            feats = model.encode_image(params, images)
-            return 100.0 * feats @ weights
+    @jax.jit
+    def logits_fn(params, weights, images):
+        feats = model.encode_image(params, pre(images))
+        return 100.0 * feats @ weights
 
     metric = config.TEST.get("METRIC", "accuracy")
     save_pred = config.TEST.get("SAVE_PRED", "")

@@ -188,17 +188,14 @@ def decode_train(data: bytes, size: int, mean, std, seed: int,
     return out if rc == 0 else None
 
 
-def decode_eval_batch(datas, size: int, mean, std, n_threads: int = 0,
-                      dct_scale: bool = False):
-    """List of JPEG byte strings -> (float32 [N, size, size, 3], ok mask).
-
-    Uses the in-library thread pool (one C call for the whole batch).
-    Entries with ok=False (non-JPEG or decode failure) are zero-filled;
-    the caller decodes those via PIL.
-    """
+def _decode_eval_batch_common(datas, size: int, dtype, n_threads: int,
+                              invoke):
+    """Shared batch-decode plumbing (blob/offset assembly, JPEG filter,
+    thread-count heuristic, ok-mask scatter); ``invoke(lib, buf, offsets,
+    nimg, n_threads, sub, status)`` calls the dtype-specific C entry."""
     lib = _load()
     n = len(datas)
-    out = np.zeros((n, size, size, 3), np.float32)
+    out = np.zeros((n, size, size, 3), dtype)
     ok = np.zeros(n, bool)
     if lib is None or n == 0:
         return out, ok
@@ -209,25 +206,41 @@ def decode_eval_batch(datas, size: int, mean, std, n_threads: int = 0,
     offsets = np.zeros(len(idx) + 1, np.uint64)
     np.cumsum([len(datas[i]) for i in idx], out=offsets[1:])
     buf = np.frombuffer(blob, np.uint8)
-    sub = np.empty((len(idx), size, size, 3), np.float32)
+    sub = np.empty((len(idx), size, size, 3), dtype)
     status = np.empty(len(idx), np.int32)
-    mean = np.ascontiguousarray(mean, np.float32)
-    std = np.ascontiguousarray(std, np.float32)
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 8, 16)
-    lib.ip_decode_eval_batch(
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        len(idx), size, _fvec(mean), _fvec(std), n_threads,
-        sub.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        int(bool(dct_scale)),
-    )
+    invoke(lib, buf, offsets, len(idx), n_threads, sub, status)
     for j, i in enumerate(idx):
         if status[j] == 0:
             out[i] = sub[j]
             ok[i] = True
     return out, ok
+
+
+def decode_eval_batch(datas, size: int, mean, std, n_threads: int = 0,
+                      dct_scale: bool = False):
+    """List of JPEG byte strings -> (float32 [N, size, size, 3], ok mask).
+
+    Uses the in-library thread pool (one C call for the whole batch).
+    Entries with ok=False (non-JPEG or decode failure) are zero-filled;
+    the caller decodes those via PIL.
+    """
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+
+    def invoke(lib, buf, offsets, nimg, nthr, sub, status):
+        lib.ip_decode_eval_batch(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            nimg, size, _fvec(mean), _fvec(std), nthr,
+            sub.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(bool(dct_scale)),
+        )
+
+    return _decode_eval_batch_common(datas, size, np.float32, n_threads,
+                                     invoke)
 
 
 def decode_eval_batch_u8(datas, size: int, n_threads: int = 0,
@@ -238,33 +251,15 @@ def decode_eval_batch_u8(datas, size: int, n_threads: int = 0,
     call for the whole batch via the in-library thread pool. Entries with
     ok=False are zero-filled; the caller decodes those via PIL.
     """
-    lib = _load()
-    n = len(datas)
-    out = np.zeros((n, size, size, 3), np.uint8)
-    ok = np.zeros(n, bool)
-    if lib is None or n == 0:
-        return out, ok
-    idx = [i for i, d in enumerate(datas) if is_jpeg(d)]
-    if not idx:
-        return out, ok
-    blob = b"".join(datas[i] for i in idx)
-    offsets = np.zeros(len(idx) + 1, np.uint64)
-    np.cumsum([len(datas[i]) for i in idx], out=offsets[1:])
-    buf = np.frombuffer(blob, np.uint8)
-    sub = np.empty((len(idx), size, size, 3), np.uint8)
-    status = np.empty(len(idx), np.int32)
-    if n_threads <= 0:
-        n_threads = min(os.cpu_count() or 8, 16)
-    lib.ip_decode_eval_batch_u8(
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        len(idx), size, n_threads,
-        sub.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        int(bool(dct_scale)),
-    )
-    for j, i in enumerate(idx):
-        if status[j] == 0:
-            out[i] = sub[j]
-            ok[i] = True
-    return out, ok
+    def invoke(lib, buf, offsets, nimg, nthr, sub, status):
+        lib.ip_decode_eval_batch_u8(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            nimg, size, nthr,
+            sub.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(bool(dct_scale)),
+        )
+
+    return _decode_eval_batch_common(datas, size, np.uint8, n_threads,
+                                     invoke)

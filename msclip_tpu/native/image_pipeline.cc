@@ -291,6 +291,31 @@ int decode_eval_impl(const uint8_t* data, size_t len, int size,
   return 0;
 }
 
+// Shared batch thread pool: work-steals indices [0, n) across up to
+// n_threads threads, records per-item rc into status, returns the
+// failure count. Both batch entry points differ only in the per-item
+// decode they run.
+template <typename PerItem>
+static int run_decode_pool(int n, int n_threads, int32_t* status,
+                           PerItem per_item) {
+  std::atomic<int> next(0), failures(0);
+  auto work = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int rc = per_item(i);
+      status[i] = rc;
+      if (rc) failures.fetch_add(1);
+    }
+  };
+  int nt = std::max(1, std::min(n_threads, n));
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(work);
+  for (auto& t : threads) t.join();
+  return failures.load();
+}
+
 }  // namespace
 
 extern "C" {
@@ -382,25 +407,12 @@ int ip_decode_eval_batch(const uint8_t* jpegs, const uint64_t* offsets,
                          int n, int size, const float* mean,
                          const float* stdv, int n_threads, float* out,
                          int32_t* status, int dct_scale) {
-  std::atomic<int> next(0), failures(0);
-  auto work = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) return;
-      int rc = decode_eval_impl(
-          jpegs + offsets[i], static_cast<size_t>(offsets[i + 1] - offsets[i]),
-          size, mean, stdv, out + static_cast<size_t>(i) * size * size * 3,
-          dct_scale);
-      status[i] = rc;
-      if (rc) failures.fetch_add(1);
-    }
-  };
-  int nt = std::max(1, std::min(n_threads, n));
-  std::vector<std::thread> threads;
-  threads.reserve(nt);
-  for (int t = 0; t < nt; ++t) threads.emplace_back(work);
-  for (auto& t : threads) t.join();
-  return failures.load();
+  return run_decode_pool(n, n_threads, status, [&](int i) {
+    return decode_eval_impl(
+        jpegs + offsets[i], static_cast<size_t>(offsets[i + 1] - offsets[i]),
+        size, mean, stdv, out + static_cast<size_t>(i) * size * size * 3,
+        dct_scale);
+  });
 }
 
 // Batched uint8-boundary decode (thread pool, same contract as
@@ -408,24 +420,11 @@ int ip_decode_eval_batch(const uint8_t* jpegs, const uint64_t* offsets,
 int ip_decode_eval_batch_u8(const uint8_t* jpegs, const uint64_t* offsets,
                             int n, int size, int n_threads, uint8_t* out,
                             int32_t* status, int dct_scale) {
-  std::atomic<int> next(0), failures(0);
-  auto work = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) return;
-      int rc = decode_eval_crop_u8(
-          jpegs + offsets[i], static_cast<size_t>(offsets[i + 1] - offsets[i]),
-          size, out + static_cast<size_t>(i) * size * size * 3, dct_scale);
-      status[i] = rc;
-      if (rc) failures.fetch_add(1);
-    }
-  };
-  int nt = std::max(1, std::min(n_threads, n));
-  std::vector<std::thread> threads;
-  threads.reserve(nt);
-  for (int t = 0; t < nt; ++t) threads.emplace_back(work);
-  for (auto& t : threads) t.join();
-  return failures.load();
+  return run_decode_pool(n, n_threads, status, [&](int i) {
+    return decode_eval_crop_u8(
+        jpegs + offsets[i], static_cast<size_t>(offsets[i + 1] - offsets[i]),
+        size, out + static_cast<size_t>(i) * size * size * 3, dct_scale);
+  });
 }
 
 }  // extern "C"

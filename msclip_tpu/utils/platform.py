@@ -60,7 +60,11 @@ def xla_compiler_options(vmem_kib: int = 0):
     import jax
 
     try:
-        if jax.default_backend() != "tpu":
+        # 'axon' is this environment's tunneled-TPU platform name
+        # (models/msclip.py uses the same check); gating on != "tpu"
+        # alone would silently disable the option on the very hardware
+        # the sweep measured it on.
+        if jax.default_backend() not in ("tpu", "axon"):
             return None
     except Exception:
         return None

@@ -183,6 +183,77 @@ def test_extract_features_sharded_matches_direct():
     np.testing.assert_array_equal(labels, [ds[i][1] for i in range(12)])
 
 
+def test_extract_features_uint8_boundary_matches_pil(tmp_path):
+    """Feature extraction must apply the in-graph normalize for
+    uint8-boundary (native-decode) datasets — regression for the bug
+    where only run_zero_shot checked ``emits_uint8`` and the linear
+    probe / retrieval / finetune towers saw raw 0-255 pixels."""
+    import os
+
+    from PIL import Image
+
+    from msclip_tpu.data.datasets import ImageFolderDataset
+    from msclip_tpu.data.transforms import pil_eval_transform
+    from msclip_tpu.eval.linear_probe import extract_features
+    from msclip_tpu.models import MSClipModel, MSClipSpec
+
+    rng = np.random.default_rng(1)
+    for cls in ["cat", "dog"]:
+        os.makedirs(tmp_path / "imgs" / cls)
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 256, (40, 56, 3), np.uint8), "RGB"
+            ).save(tmp_path / "imgs" / cls / f"{i}.png")
+
+    spec = MSClipSpec(
+        embed_dim=16, image_resolution=32, vision_width=64, vision_layers=2,
+        vision_patch_size=16, vision_heads=1, text_width=64, text_heads=1,
+        text_layers=2, vocab_size=128, context_length=16,
+    )
+    model = MSClipModel(spec)
+    params = model.init(jax.random.PRNGKey(0))
+
+    ds_u8 = ImageFolderDataset(str(tmp_path / "imgs"), native=True,
+                               image_size=32)
+    assert ds_u8.emits_uint8
+    f_u8, y_u8 = extract_features(model, params, ds_u8, batch_size=2,
+                                  workers=1)
+    ds_pil = ImageFolderDataset(
+        str(tmp_path / "imgs"),
+        transform=lambda im: pil_eval_transform(im, size=32),
+    )
+    f_pil, y_pil = extract_features(model, params, ds_pil, batch_size=2,
+                                    workers=1)
+    np.testing.assert_array_equal(y_u8, y_pil)
+    # PNG inputs: the uint8 crop + in-graph normalize is bit-compatible
+    # with host-side fp32 normalize, so features agree to fp tolerance
+    np.testing.assert_allclose(f_u8, f_pil, atol=1e-5)
+
+
+def test_dataset_normalizer_custom_stats():
+    """dataset_normalizer must honor the DATASET's ctor stats, not a
+    global default — a uint8 dataset built with custom mean/std
+    normalizes identically to its own fp32 path."""
+    from msclip_tpu.data.transforms import dataset_normalizer
+
+    class _U8:
+        emits_uint8 = True
+        mean = (0.3, 0.4, 0.5)
+        std = (0.1, 0.2, 0.3)
+
+    x = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+    got = np.asarray(dataset_normalizer(_U8())(jnp.asarray(x)))
+    want = ((x.astype(np.float32) / 255.0 - np.asarray(_U8.mean, np.float32))
+            / np.asarray(_U8.std, np.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    class _F32:
+        emits_uint8 = False
+
+    xf = np.ones((2, 3), np.float32)
+    assert dataset_normalizer(_F32())(xf) is xf  # identity passthrough
+
+
 def test_recall_at_k():
     from msclip_tpu.eval.retrieval import recall_at_k
 

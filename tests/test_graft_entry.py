@@ -138,3 +138,31 @@ def test_bench_budget_watchdog_flushes_json():
     assert "stage" in out["extra"]["partial"], out
     # stage prints ride stderr, keeping stdout a single JSON line
     assert "[bench +" in proc.stderr, proc.stderr[-800:]
+
+
+def test_bench_hard_failure_still_emits_one_json_line():
+    """A headline that dies on every retry must STILL flush the one JSON
+    line (partial, naming the stage + error) before the nonzero exit —
+    the in-process-failure counterpart of the watchdog test above."""
+    import json
+
+    env = dict(os.environ)
+    env.update({
+        "MSCLIP_PLATFORM": "cpu",
+        "BENCH_PREFLIGHT": "0",
+        "BENCH_BUDGET": "0",          # watchdog off: isolate the path
+        "BENCH_MAX_WAIT": "1",        # retry waits must not stall the test
+        "BENCH_MODEL": "no-such-model-yaml",
+        "BENCH_BATCH": "4",
+        "BENCH_ITERS": "2",
+    })
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode != 0  # failure is still reported via rc
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, proc.stdout
+    out = json.loads(lines[0])
+    assert out["value"] == 0.0
+    assert "unhandled" in out["extra"].get("partial", ""), out

@@ -46,14 +46,14 @@ def _ckpt_path():
     p = os.environ.get("MSCLIP_RELEASED_CKPT")
     if p and os.path.exists(p):
         return p
+    # Only the checkpoint matching the selected model counts: falling
+    # back to a DIFFERENT released file would validate b32 weights
+    # against the b16 config and report a bogus quality failure.
     model = _model_name()
-    for cand in (
-        os.path.join(REPO, "OUTPUT_MODEL", f"{model.split('-msclips')[0]}.pth"),
-        os.path.join(REPO, "OUTPUT_MODEL", "b32-yfcc.pth"),
-    ):
-        if os.path.exists(cand):
-            return cand
-    return None
+    cand = os.path.join(
+        REPO, "OUTPUT_MODEL", f"{model.split('-msclips')[0]}.pth"
+    )
+    return cand if os.path.exists(cand) else None
 
 
 def _model_name():

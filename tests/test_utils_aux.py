@@ -246,3 +246,11 @@ def test_xla_compiler_options_backend_guard(monkeypatch):
     assert plat.xla_compiler_options(24576) == {
         "xla_tpu_scoped_vmem_limit_kib": "24576"
     }
+
+    # 'axon' (this environment's tunneled-TPU platform name) must pass
+    # the gate too — regression for the option silently dying on the
+    # exact hardware the sweep measured it on
+    monkeypatch.setattr(_jax, "default_backend", lambda: "axon")
+    assert plat.xla_compiler_options(24576) == {
+        "xla_tpu_scoped_vmem_limit_kib": "24576"
+    }

@@ -65,8 +65,16 @@ def main():
     cutmix_a = config.AUG.MIXCUT
     smoothing = config.LOSS.LABEL_SMOOTHING
 
+    train_ds = make_dataset(config)  # TEST split stands in when no train
+    # uint8-boundary datasets (native decode): normalize in-graph BEFORE
+    # mixup (mixup blends normalized fp32 pixels, matching the host path)
+    from msclip_tpu.data.transforms import dataset_normalizer
+
+    pre = dataset_normalizer(train_ds)
+
     @jax.jit
     def step(head, opt_state, key, images, labels):
+        images = pre(images)
         images, soft = mixup_cutmix(
             key, images, labels, n_classes, mixup_alpha=mixup_a,
             cutmix_alpha=cutmix_a,
@@ -87,10 +95,9 @@ def main():
 
     @jax.jit
     def predict(head, images):
-        feats = model.encode_image(backbone, images, normalize=False)
+        feats = model.encode_image(backbone, pre(images), normalize=False)
         return feats.astype(jnp.float32) @ head["w"] + head["b"]
 
-    train_ds = make_dataset(config)  # TEST split stands in when no train
     loader = BatchLoader(
         train_ds, config.FINETUNE.BATCH_SIZE, workers=config.WORKERS,
         shuffle=True, drop_last=True, seed=config.TPU.SEED,
