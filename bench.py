@@ -88,8 +88,12 @@ def _budget_max_wait() -> float:
     max_wait = float(os.environ.get("BENCH_MAX_WAIT", "7200"))
     budget = float(os.environ.get("BENCH_BUDGET", "3300"))
     if budget > 0:
-        left = (_T0 + budget - 60.0) - time.monotonic()
-        max_wait = min(max_wait, max(30.0, left))
+        # margin must cover a full residual probe cycle past max_wait
+        # (150 s probe + 60 s sleep) plus the watchdog's 20 s early fire;
+        # a 60 s margin let the generic watchdog partial land mid-probe
+        # and mask the specific device-unreachable reason.
+        left = (_T0 + budget - 240.0) - time.monotonic()
+        max_wait = min(max_wait, max(0.0, left))
     return max_wait
 
 
@@ -432,11 +436,17 @@ def _wait_for_device(max_wait_s: float) -> tuple:
     nearly free overall.)"""
     start = time.monotonic()
     while True:
-        if _device_reachable():
+        # clamp the probe to what is left of the wait budget (>=5 s so a
+        # healthy-but-warming tunnel still gets a real chance) — an
+        # uncapped 150 s probe starting just under max_wait would
+        # overshoot the BENCH_BUDGET margin _budget_max_wait reserves
+        left = max_wait_s - (time.monotonic() - start)
+        if _device_reachable(min(150.0, max(5.0, left))):
             return True, time.monotonic() - start
         if time.monotonic() - start > max_wait_s:
             return False, time.monotonic() - start
-        time.sleep(60.0)
+        time.sleep(min(60.0, max(1.0, max_wait_s -
+                                 (time.monotonic() - start))))
 
 
 def main():
@@ -509,6 +519,9 @@ if __name__ == "__main__":
     except BaseException as e:
         # The one-JSON-line contract holds even when the headline dies on
         # all retries: flush a partial artifact (stage + error), THEN
-        # re-raise so the exit code still says failure.
+        # re-raise so the exit code still says failure. done=True FIRST:
+        # otherwise the budget watchdog can wake during the unwind and
+        # os._exit(0), flipping the failure exit code to success.
+        _STATE["done"] = True
         _emit(f"unhandled in stage '{_STATE['stage']}': {repr(e)[:200]}")
         raise

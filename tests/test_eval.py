@@ -95,6 +95,36 @@ def test_run_zero_shot_synthetic():
     assert stats["n_images"] == 16
 
 
+def _uint8_pil_dataset_pair(tmp_path, *, seed, img_hw, n_per_class,
+                            size=32):
+    """PNG cat/dog class-folder fixture + (native uint8-boundary, PIL
+    fp32) dataset pair over the SAME files — the two ends of the
+    dataset_normalizer contract (data/transforms.py). One source of
+    truth for the uint8-parity tests below."""
+    import os
+
+    from PIL import Image
+
+    from msclip_tpu.data.datasets import ImageFolderDataset
+    from msclip_tpu.data.transforms import pil_eval_transform
+
+    rng = np.random.default_rng(seed)
+    for cls in ["cat", "dog"]:
+        os.makedirs(tmp_path / "imgs" / cls)
+        for i in range(n_per_class):
+            Image.fromarray(
+                rng.integers(0, 256, (*img_hw, 3), np.uint8), "RGB"
+            ).save(tmp_path / "imgs" / cls / f"{i}.png")
+    ds_u8 = ImageFolderDataset(str(tmp_path / "imgs"), native=True,
+                               image_size=size)
+    assert ds_u8.emits_uint8
+    ds_pil = ImageFolderDataset(
+        str(tmp_path / "imgs"),
+        transform=lambda im: pil_eval_transform(im, size=size),
+    )
+    return ds_u8, ds_pil
+
+
 def test_run_zero_shot_uint8_boundary_matches_pil(tmp_path, monkeypatch):
     """End-to-end uint8-boundary wiring: a native ImageFolder dataset
     (emits_uint8) evaluated through run_zero_shot must reproduce the PIL
@@ -103,21 +133,11 @@ def test_run_zero_shot_uint8_boundary_matches_pil(tmp_path, monkeypatch):
     pin the pixels themselves (the PIL-uint8 fallback inside the native
     dataset), isolating the boundary/wiring from JPEG-decoder rounding,
     which test_native_pipeline.py covers separately."""
-    import os
-
-    from PIL import Image
-
     from msclip_tpu.config import get_default_config
-    from msclip_tpu.data.datasets import ImageFolderDataset
     from msclip_tpu.eval import run_zero_shot
 
-    rng = np.random.default_rng(0)
-    for ci, cls in enumerate(["cat", "dog"]):
-        os.makedirs(tmp_path / "imgs" / cls)
-        for i in range(4):
-            Image.fromarray(
-                rng.integers(0, 256, (48, 64, 3), np.uint8), "RGB"
-            ).save(tmp_path / "imgs" / cls / f"{i}.png")
+    ds_u8, ds_pil = _uint8_pil_dataset_pair(tmp_path, seed=0,
+                                            img_hw=(48, 64), n_per_class=4)
 
     cfg = get_default_config()
     cfg.merge_from_dict({
@@ -137,19 +157,10 @@ def test_run_zero_shot_uint8_boundary_matches_pil(tmp_path, monkeypatch):
         "WORKERS": 1,
     })
 
-    from msclip_tpu.data.transforms import pil_eval_transform
-
     # 'folder-pets' has no curated prompt set -> resolve_prompts falls
     # back to the dataset's own classnames (cat/dog) under the imagenet
     # template ensemble
-    ds_u8 = ImageFolderDataset(str(tmp_path / "imgs"), native=True,
-                               image_size=32)
-    assert ds_u8.emits_uint8
     v_u8, stats_u8 = run_zero_shot(cfg, dataset=ds_u8)
-    ds_pil = ImageFolderDataset(
-        str(tmp_path / "imgs"),
-        transform=lambda im: pil_eval_transform(im, size=32),
-    )
     v_pil, stats_pil = run_zero_shot(cfg, dataset=ds_pil)
     assert stats_u8["n_images"] == stats_pil["n_images"] == 8
     assert v_u8 == v_pil
@@ -188,22 +199,11 @@ def test_extract_features_uint8_boundary_matches_pil(tmp_path):
     uint8-boundary (native-decode) datasets — regression for the bug
     where only run_zero_shot checked ``emits_uint8`` and the linear
     probe / retrieval / finetune towers saw raw 0-255 pixels."""
-    import os
-
-    from PIL import Image
-
-    from msclip_tpu.data.datasets import ImageFolderDataset
-    from msclip_tpu.data.transforms import pil_eval_transform
     from msclip_tpu.eval.linear_probe import extract_features
     from msclip_tpu.models import MSClipModel, MSClipSpec
 
-    rng = np.random.default_rng(1)
-    for cls in ["cat", "dog"]:
-        os.makedirs(tmp_path / "imgs" / cls)
-        for i in range(3):
-            Image.fromarray(
-                rng.integers(0, 256, (40, 56, 3), np.uint8), "RGB"
-            ).save(tmp_path / "imgs" / cls / f"{i}.png")
+    ds_u8, ds_pil = _uint8_pil_dataset_pair(tmp_path, seed=1,
+                                            img_hw=(40, 56), n_per_class=3)
 
     spec = MSClipSpec(
         embed_dim=16, image_resolution=32, vision_width=64, vision_layers=2,
@@ -213,15 +213,8 @@ def test_extract_features_uint8_boundary_matches_pil(tmp_path):
     model = MSClipModel(spec)
     params = model.init(jax.random.PRNGKey(0))
 
-    ds_u8 = ImageFolderDataset(str(tmp_path / "imgs"), native=True,
-                               image_size=32)
-    assert ds_u8.emits_uint8
     f_u8, y_u8 = extract_features(model, params, ds_u8, batch_size=2,
                                   workers=1)
-    ds_pil = ImageFolderDataset(
-        str(tmp_path / "imgs"),
-        transform=lambda im: pil_eval_transform(im, size=32),
-    )
     f_pil, y_pil = extract_features(model, params, ds_pil, batch_size=2,
                                     workers=1)
     np.testing.assert_array_equal(y_u8, y_pil)

@@ -166,3 +166,30 @@ def test_bench_hard_failure_still_emits_one_json_line():
     out = json.loads(lines[0])
     assert out["value"] == 0.0
     assert "unhandled" in out["extra"].get("partial", ""), out
+
+
+def test_bench_hard_failure_with_watchdog_keeps_nonzero_exit():
+    """Same hard-failure path with the budget watchdog ARMED: the
+    except handler must set done=True before emitting, else the daemon
+    watchdog can wake mid-unwind and os._exit(0), flipping the failure
+    exit code to success (review finding, r4)."""
+    import json
+
+    env = dict(os.environ)
+    env.update({
+        "MSCLIP_PLATFORM": "cpu",
+        "BENCH_PREFLIGHT": "0",
+        "BENCH_BUDGET": "3300",       # watchdog on, deadline far away
+        "BENCH_MAX_WAIT": "1",
+        "BENCH_MODEL": "no-such-model-yaml",
+        "BENCH_BATCH": "4",
+        "BENCH_ITERS": "2",
+    })
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode != 0, proc.stdout
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, proc.stdout
+    assert "unhandled" in json.loads(lines[0])["extra"].get("partial", "")
