@@ -107,7 +107,11 @@ def _start_budget_watchdog() -> None:
         return
 
     def run():
-        deadline = _T0 + max(30.0, budget - 20.0)
+        # Fire BEFORE the external kill for any budget: 20 s early for
+        # normal budgets, proportionally (20%) for tiny ones — a floor
+        # like max(30, ...) would schedule the flush AFTER a sub-50 s
+        # external SIGKILL and the one-JSON-line contract would fail.
+        deadline = _T0 + max(budget * 0.8, budget - 20.0)
         while not _STATE["done"]:
             left = deadline - time.monotonic()
             if left <= 0:
@@ -380,15 +384,24 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
     decoded = queue.Queue(maxsize=2)
 
     def producer():
-        for _ in range(n_batches):
-            decoded.put(host_decode())
-        decoded.put(None)
+        # An exception here must still enqueue a sentinel or the main
+        # thread blocks on decoded.get() forever (hang with no JSON —
+        # the exact failure mode the watchdog exists to prevent); ship
+        # the exception itself so the error is attributable.
+        try:
+            for _ in range(n_batches):
+                decoded.put(host_decode())
+            decoded.put(None)
+        except BaseException as e:  # noqa: BLE001 — re-raised on main
+            decoded.put(e)
 
     threading.Thread(target=producer, daemon=True).start()
     t0 = time.perf_counter()
     pending = None
     while True:
         imgs = decoded.get()
+        if isinstance(imgs, BaseException):
+            raise imgs
         if imgs is None:
             break
         dispatched = logits_top1(params, classifier, jnp.asarray(imgs))

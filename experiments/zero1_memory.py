@@ -31,11 +31,7 @@ from msclip_tpu.utils.platform import enable_compile_cache
 
 # full-geometry fp32 CPU train-step compiles are multi-minute on a
 # 1-vCPU host; the persistent cache makes re-runs warm
-enable_compile_cache(os.environ.get(
-    "MSCLIP_COMPILE_CACHE",
-    os.path.join(os.path.expanduser("~"), ".cache", "msclip_tpu",
-                 "jax_cache"),
-))
+enable_compile_cache()
 
 from msclip_tpu.config import get_default_config, update_config
 from msclip_tpu.models import MSClipModel, spec_from_config

@@ -10,6 +10,7 @@ same annotation parsing semantics. Every dataset yields
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Callable, List, Optional, Sequence
@@ -79,7 +80,6 @@ class ImageFolderDataset:
         from .transforms import IMAGENET_MEAN, IMAGENET_STD
 
         self.root = root
-        self.transform = transform or pil_eval_transform
         if native is None:
             native = (transform is None
                       and os.environ.get("MSCLIP_NATIVE_DECODE") == "1")
@@ -87,6 +87,14 @@ class ImageFolderDataset:
         self.image_size = image_size
         self.mean = tuple(mean) if mean is not None else IMAGENET_MEAN
         self.std = tuple(std) if std is not None else IMAGENET_STD
+        # The default transform (also the fp32-native fallback for
+        # non-JPEG/failed samples) must honor the ctor geometry/stats, or
+        # a mixed folder yields mismatched shapes / silently different
+        # normalization between the native and fallback samples.
+        self.transform = transform or functools.partial(
+            pil_eval_transform, size=self.image_size,
+            mean=self.mean, std=self.std,
+        )
         self.emits_uint8 = (self.native
                             and os.environ.get("MSCLIP_NATIVE_U8") != "0")
         self.samples, self.classes = scan_image_folder(root)

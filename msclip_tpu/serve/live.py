@@ -40,15 +40,13 @@ def live_serving_model(
     """Build a :class:`ServingModel` that runs ``model`` live over all
     local devices (data-parallel batch sharding, replicated params)."""
     import jax
-    import jax.numpy as jnp
 
-    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD, normalize_uint8
 
     devices = list(devices) if devices is not None else jax.local_devices()
     n_dev = len(devices)
-    mean_a = np.asarray(mean if mean is not None else IMAGENET_MEAN,
-                        np.float32)
-    std_a = np.asarray(std if std is not None else IMAGENET_STD, np.float32)
+    mean_t = tuple(mean) if mean is not None else IMAGENET_MEAN
+    std_t = tuple(std) if std is not None else IMAGENET_STD
     spec = model.spec
 
     raw = [int(b) for b in (buckets or DEFAULT_BUCKETS)]
@@ -57,9 +55,10 @@ def live_serving_model(
     buckets = sorted({-(-b // n_dev) * n_dev for b in raw})
 
     def image_fn(p, images_u8):
-        x = images_u8.astype(jnp.float32) / 255.0
-        x = (x - mean_a) / std_a
-        return model.encode_image(p, x)
+        # shared op-order-exact normalize — the uint8-boundary bit-identity
+        # contract lives in ONE function (data/transforms.normalize_uint8)
+        return model.encode_image(p, normalize_uint8(images_u8, mean_t,
+                                                     std_t))
 
     def text_fn(p, tokens):
         return model.encode_text(p, tokens)
@@ -86,8 +85,8 @@ def live_serving_model(
         "image_size": int(image_size),
         "context_length": int(spec.context_length),
         "embed_dim": int(spec.embed_dim),
-        "mean": mean_a.tolist(),
-        "std": std_a.tolist(),
+        "mean": [float(v) for v in mean_t],
+        "std": [float(v) for v in std_t],
         "live": True,
         "devices": n_dev,
     }

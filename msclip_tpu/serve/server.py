@@ -53,7 +53,6 @@ class _Httpd(ThreadingHTTPServer):
     the kernel while the batcher drains them in bucket-sized waves."""
 
     request_queue_size = 256
-    daemon_threads = True
 
 
 def _decode_image(body: bytes, content_type: str, size: int) -> np.ndarray:

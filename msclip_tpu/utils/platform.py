@@ -5,13 +5,15 @@ user-set environment variables; ``jax.config.update`` after import is the
 only reliable override. Tools call this first thing so
 ``MSCLIP_PLATFORM=cpu`` works for CI / offline runs.
 
-``MSCLIP_COMPILE_CACHE=<dir>`` enables JAX's persistent compilation
-cache there: first compiles of the full-geometry towers cost 20-40 s on
-TPU (more over the tunnel), and eval/serve/train entry points recompile
-identical programs on every process start — the reference's torch stack
-has no compile step to amortize, so this is a TPU-specific production
-knob. Every tool routes through :func:`apply_platform_override`, so the
-env var covers the whole CLI surface.
+JAX's persistent compilation cache is ON by default at
+``~/.cache/msclip_tpu/jax_cache`` (``MSCLIP_COMPILE_CACHE=<dir>``
+relocates it, ``=0`` disables): first compiles of the full-geometry
+towers cost 20-40 s on TPU (more over the tunnel), and eval/serve/train
+entry points recompile identical programs on every process start — the
+reference's torch stack has no compile step to amortize, so this is a
+TPU-specific production knob. Every tool routes through
+:func:`apply_platform_override`, so one switch covers the whole CLI
+surface.
 """
 
 import os
@@ -23,7 +25,7 @@ def apply_platform_override() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
-    enable_compile_cache(os.environ.get("MSCLIP_COMPILE_CACHE"))
+    enable_compile_cache()
     if os.environ.get("MSCLIP_DEBUG_NANS") == "1":
         # env-var twin of TRAIN.DETECT_ANOMALY (which tools/train.py also
         # wires): NaN checking on every CLI entry point without a config
@@ -71,11 +73,25 @@ def xla_compiler_options(vmem_kib: int = 0):
     return {"xla_tpu_scoped_vmem_limit_kib": str(vmem_kib)}
 
 
-def enable_compile_cache(cache_dir) -> None:
-    """Persist compiled executables under ``cache_dir`` (no-op for
-    falsy/"0"). Thresholds are zeroed so even fast-compiling programs
-    (the serving bucket graphs) are cached — disk is cheap next to a
-    20 s recompile per process start."""
+def default_cache_dir() -> str:
+    """The one place the shared compile-cache location is defined
+    (conftest, dryrun, experiments all key off it): honors
+    ``MSCLIP_COMPILE_CACHE`` (a path, or "0" to disable), else
+    ``~/.cache/msclip_tpu/jax_cache``."""
+    return os.environ.get(
+        "MSCLIP_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "msclip_tpu",
+                     "jax_cache"),
+    )
+
+
+def enable_compile_cache(cache_dir=None) -> None:
+    """Persist compiled executables under ``cache_dir`` (default:
+    :func:`default_cache_dir`; no-op for "0"). Thresholds are zeroed so
+    even fast-compiling programs (the serving bucket graphs) are cached —
+    disk is cheap next to a 20 s recompile per process start."""
+    if cache_dir is None:
+        cache_dir = default_cache_dir()
     if not cache_dir or cache_dir == "0":
         return
     import jax

@@ -121,7 +121,7 @@ def test_bench_budget_watchdog_flushes_json():
     env.update({
         "MSCLIP_PLATFORM": "cpu",
         "BENCH_PREFLIGHT": "0",
-        "BENCH_BUDGET": "25",   # deadline clamps to 30 s from start
+        "BENCH_BUDGET": "25",   # deadline = 80% of tiny budgets = 20 s
         "BENCH_BATCH": "4",
         "BENCH_ITERS": "2",
     })

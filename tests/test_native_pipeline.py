@@ -399,6 +399,21 @@ def test_image_folder_native_u8(tmp_path, monkeypatch):
     assert not ds_fp32.emits_uint8
     assert ds_fp32[0][0].dtype == np.float32
 
+    # fp32-native fallback must honor ctor geometry + stats: the PNG
+    # sample (native decode returns None) previously fell back to the
+    # bare 224/ImageNet default, yielding a shape mismatch vs the JPEG
+    # samples whenever image_size != 224 and silently different stats.
+    ds_192 = ImageFolderDataset(str(tmp_path), native=True,
+                                image_size=192,
+                                mean=(0.5, 0.5, 0.5), std=(0.25, 0.3, 0.2))
+    for i in range(2):  # i=0: x.jpg (native); i=1: y.png (PIL fallback)
+        img, _ = ds_192[i]
+        assert img.shape == (192, 192, 3), (i, img.shape)
+    # stats applied on the fallback sample too: solid gray-7 PNG
+    want = ((np.float32(7) / 255 - 0.5) / np.asarray(
+        (0.25, 0.3, 0.2), np.float32))
+    np.testing.assert_allclose(ds_192[1][0][0, 0], want, atol=1e-6)
+
 
 def test_dct_scaled_batch_and_train():
     datas = [_jpeg_bytes(900, 700, seed=i) for i in range(4)]
