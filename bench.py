@@ -303,6 +303,12 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
       jpeg_decode_ips_core single-thread native uint8 decode rate,
                            img/s/core (x cores = a host's feed ceiling)
       jpeg_decode_ips_core_full  same without DCT-scaled decode
+      jpeg_transfer_ips_bound    measured host->device upload bound for
+                           one uint8 batch (sandbox tunnel artifact)
+      jpeg_eval_vs_bound   jpeg_eval_ips / (decode bound x cores) — the
+                           stable cross-run claim: ~1.0 = decode-bound;
+                           lower = transfer/device-bound (compare with
+                           jpeg_transfer_ips_bound to tell which)
 
     Images are synthetic 1024x768 q90 JPEGs (YFCC-like photo scale).
     """
@@ -375,8 +381,25 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
         assert ok.all()
         return imgs
 
-    host_decode()  # warm
-    int(logits_top1(params, classifier, jnp.asarray(host_decode())))  # compile
+    warm = host_decode()
+    int(logits_top1(params, classifier, jnp.asarray(warm)))  # compile
+
+    # Measured host->device upload bound for the uint8 crops: on this
+    # sandbox the ~25 MB/s tunnel caps the pipeline (~160 img/s at
+    # 150 KB/img) whenever the decode bound is higher (idle CPU); a PCIe
+    # host never sees it. One timed re-upload of an already-decoded
+    # batch, barriered by a scalar fetch (block_until_ready does not
+    # truly block over the tunnel).
+    @jax.jit
+    def _touch(x):
+        return x.sum()
+
+    int(_touch(jnp.asarray(warm)))  # compile the barrier program
+    t0 = time.perf_counter()
+    int(_touch(jnp.asarray(warm)))
+    out["jpeg_transfer_ips_bound"] = round(
+        batch / (time.perf_counter() - t0), 1
+    )
 
     import queue
     import threading
@@ -414,6 +437,13 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
     # the end-to-end number is host-decode-bound: scale by cores
     # (jpeg_decode_ips_core x cores vs the uint8 device headline)
     out["jpeg_host_cores"] = os.cpu_count()
+    # The absolute decode rate swings >2x with sandbox CPU contention
+    # (measured 68.9-203.7 img/s/core across r4 runs on this host), so
+    # the STABLE claim is the ratio of end-to-end throughput to the
+    # same-run decode bound: ~1.0 == fully decode-bound (the regime
+    # that scales with host cores), << 1.0 == transfer/device-bound.
+    bound = out["jpeg_decode_ips_core"] * (os.cpu_count() or 1)
+    out["jpeg_eval_vs_bound"] = round(out["jpeg_eval_ips"] / bound, 3)
     return out
 
 
