@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import statistics
 import sys
 import threading
 import time
@@ -46,13 +47,23 @@ def _stage(name: str) -> None:
           file=sys.stderr, flush=True)
 
 
-def _emit(partial_reason: str | None = None) -> None:
+def _emit(partial_reason: str | None = None, *,
+          skip_if_done: bool = False) -> bool:
     # The lock covers the print too: the watchdog thread calls _emit and
     # then os._exit(0), so it must not be able to kill the process while
     # main is mid-write of its own line (truncated/doubled JSON).
+    # Returns True iff THIS call printed the line (the watchdog only
+    # os._exit(0)s when it actually emitted).
     with _EMIT_LOCK:
         if _STATE.get("emitted"):  # exactly one JSON line, ever
-            return
+            return False
+        if skip_if_done and _STATE["done"]:
+            # Race window: main finished (done=True) between the
+            # watchdog's unlocked check and here. Main WILL emit the
+            # complete line itself — stamping it 'partial' (and
+            # os._exit-ing before main prints) would misreport a
+            # successful run.
+            return False
         _STATE["emitted"] = True
         ips = _STATE["ips"]
         extra = dict(_STATE["extra"])
@@ -66,7 +77,7 @@ def _emit(partial_reason: str | None = None) -> None:
                 "vs_baseline": 0.0,
                 "extra": extra,
             }), flush=True)
-            return
+            return True
         print(json.dumps({
             "metric": (
                 f"zero-shot eval throughput, MS-CLIP-S {_STATE['model']} "
@@ -78,6 +89,7 @@ def _emit(partial_reason: str | None = None) -> None:
             "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 4),
             "extra": extra,
         }), flush=True)
+        return True
 
 
 def _budget_max_wait() -> float:
@@ -118,9 +130,12 @@ def _start_budget_watchdog() -> None:
                 break
             time.sleep(min(5.0, left))
         if not _STATE["done"]:
-            _emit(f"BENCH_BUDGET {budget:.0f}s approaching during "
-                  f"stage '{_STATE['stage']}'")
-            os._exit(0)
+            # skip_if_done re-checks under _EMIT_LOCK: a run that set
+            # done=True after the line above is complete and will emit
+            # its own (non-partial) line — do not exit out from under it.
+            if _emit(f"BENCH_BUDGET {budget:.0f}s approaching during "
+                     f"stage '{_STATE['stage']}'", skip_if_done=True):
+                os._exit(0)
 
     threading.Thread(target=run, daemon=True).start()
 
@@ -384,66 +399,99 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
     warm = host_decode()
     int(logits_top1(params, classifier, jnp.asarray(warm)))  # compile
 
-    # Measured host->device upload bound for the uint8 crops: on this
-    # sandbox the ~25 MB/s tunnel caps the pipeline (~160 img/s at
-    # 150 KB/img) whenever the decode bound is higher (idle CPU); a PCIe
-    # host never sees it. One timed re-upload of an already-decoded
-    # batch, barriered by a scalar fetch (block_until_ready does not
-    # truly block over the tunnel).
+    # Host->device upload bound for the uint8 crops: on this sandbox the
+    # ~25 MB/s tunnel caps the pipeline (~160 img/s at 150 KB/img)
+    # whenever the decode bound is higher (idle CPU); a PCIe host never
+    # sees it. Timed re-uploads of an already-decoded batch, barriered by
+    # a scalar fetch (block_until_ready does not truly block over the
+    # tunnel); measured per-repeat below, contemporaneous with the
+    # pipeline runs.
     @jax.jit
     def _touch(x):
         return x.sum()
 
     int(_touch(jnp.asarray(warm)))  # compile the barrier program
-    t0 = time.perf_counter()
-    int(_touch(jnp.asarray(warm)))
-    out["jpeg_transfer_ips_bound"] = round(
-        batch / (time.perf_counter() - t0), 1
-    )
 
+    import collections
     import queue
     import threading
 
-    decoded = queue.Queue(maxsize=2)
+    def run_pipeline(depth: int) -> float:
+        """Decode thread feeds a bounded queue; main thread uploads and
+        keeps up to ``depth`` dispatched programs un-fetched (the tunnel's
+        ~28 ms RTT rides under the next upload). Returns img/s."""
+        decoded = queue.Queue(maxsize=3)
 
-    def producer():
-        # An exception here must still enqueue a sentinel or the main
-        # thread blocks on decoded.get() forever (hang with no JSON —
-        # the exact failure mode the watchdog exists to prevent); ship
-        # the exception itself so the error is attributable.
-        try:
-            for _ in range(n_batches):
-                decoded.put(host_decode())
-            decoded.put(None)
-        except BaseException as e:  # noqa: BLE001 — re-raised on main
-            decoded.put(e)
+        def producer():
+            # An exception here must still enqueue a sentinel or the main
+            # thread blocks on decoded.get() forever (hang with no JSON —
+            # the exact failure mode the watchdog exists to prevent); ship
+            # the exception itself so the error is attributable.
+            try:
+                for _ in range(n_batches):
+                    decoded.put(host_decode())
+                decoded.put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised on main
+                decoded.put(e)
 
-    threading.Thread(target=producer, daemon=True).start()
-    t0 = time.perf_counter()
-    pending = None
-    while True:
-        imgs = decoded.get()
-        if isinstance(imgs, BaseException):
-            raise imgs
-        if imgs is None:
-            break
-        dispatched = logits_top1(params, classifier, jnp.asarray(imgs))
-        if pending is not None:
-            int(pending)
-        pending = dispatched
-    int(pending)
-    elapsed = time.perf_counter() - t0
-    out["jpeg_eval_ips"] = round(batch * n_batches / elapsed, 1)
-    # the end-to-end number is host-decode-bound: scale by cores
-    # (jpeg_decode_ips_core x cores vs the uint8 device headline)
+        threading.Thread(target=producer, daemon=True).start()
+        t0 = time.perf_counter()
+        pending: collections.deque = collections.deque()
+        while True:
+            imgs = decoded.get()
+            if isinstance(imgs, BaseException):
+                raise imgs
+            if imgs is None:
+                break
+            pending.append(logits_top1(params, classifier,
+                                       jnp.asarray(imgs)))
+            while len(pending) > depth:
+                int(pending.popleft())
+        while pending:
+            int(pending.popleft())
+        return batch * n_batches / (time.perf_counter() - t0)
+
+    # r4's recorded jpeg_eval_vs_bound (0.615) contradicted the claimed
+    # 0.85x because the decode bound and the pipeline were measured
+    # minutes apart under SHIFTING host contention (the single-core rate
+    # swings 26-204 img/s on this sandbox within one session). r5 fix
+    # (VERDICT r4 #1): measure bound -> pipeline -> bound per repeat,
+    # compute the ratio against the min of the CONTEMPORANEOUS decode and
+    # transfer bounds, and report the median over BENCH_JPEG_REPEATS.
+    #   - decode bound uses decode_eval_batch_u8, the pipeline's own
+    #     pooled API (not the single-image loop), so pool overhead is
+    #     inside the bound, and on a multi-core host the pooled rate IS
+    #     the multi-core bound (no x-cores extrapolation).
+    #   - the binding constraint is min(decode, transfer): on a PCIe
+    #     host transfer is never it; on this ~25 MB/s tunnel it often
+    #     is, and dividing by a bound the hardware cannot reach would
+    #     misreport pipeline efficiency.
+    repeats = max(1, int(os.environ.get("BENCH_JPEG_REPEATS", "3")))
+    depth = max(1, int(os.environ.get("BENCH_JPEG_DEPTH", "2")))
+    pipes, decodes, transfers, ratios = [], [], [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        host_decode()
+        d_bound = batch / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        int(_touch(jnp.asarray(warm)))
+        t_bound = batch / (time.perf_counter() - t0)
+        pipe = run_pipeline(depth)
+        t0 = time.perf_counter()
+        host_decode()
+        d_bound = 0.5 * (d_bound + batch / (time.perf_counter() - t0))
+        decodes.append(d_bound)
+        transfers.append(t_bound)
+        pipes.append(pipe)
+        ratios.append(pipe / min(d_bound, t_bound))
+
+    med = statistics.median
+    out["jpeg_transfer_ips_bound"] = round(med(transfers), 1)
+    out["jpeg_decode_ips_pool"] = round(med(decodes), 1)
+    out["jpeg_eval_ips"] = round(med(pipes), 1)
     out["jpeg_host_cores"] = os.cpu_count()
-    # The absolute decode rate swings >2x with sandbox CPU contention
-    # (measured 68.9-203.7 img/s/core across r4 runs on this host), so
-    # the STABLE claim is the ratio of end-to-end throughput to the
-    # same-run decode bound: ~1.0 == fully decode-bound (the regime
-    # that scales with host cores), << 1.0 == transfer/device-bound.
-    bound = out["jpeg_decode_ips_core"] * (os.cpu_count() or 1)
-    out["jpeg_eval_vs_bound"] = round(out["jpeg_eval_ips"] / bound, 3)
+    out["jpeg_eval_vs_bound"] = round(med(ratios), 3)
+    out["jpeg_eval_vs_bound_min"] = round(min(ratios), 3)
     return out
 
 

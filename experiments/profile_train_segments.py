@@ -182,7 +182,10 @@ def main():
     t_fb_img = maybe("fb_img", fwd_bwd_img, jnp.zeros(()))
     t_fb_txt = maybe("fb_txt", fwd_bwd_txt, jnp.zeros(()))
     t_full = maybe("step", full, state)
-    if sel:
+    if any(t is None for t in
+           (t_img, t_txt, t_fwd, t_fb, t_fb_img, t_fb_txt, t_full)):
+        # PROF_SEGMENTS deselected something the derived summary needs;
+        # a selection that happens to cover every segment still gets it.
         return
     print(f"per-tower bwd: img {t_fb_img - t_img:.2f} ms "
           f"({(t_fb_img - t_img) / t_img:.1f}x its fwd), "

@@ -246,12 +246,95 @@ def _resolve_use_pallas(value) -> bool:
     return bool(value)
 
 
+# CUSTOM keys consumed outside spec_from_config/ext_spec_from_custom, or
+# accepted-by-construction (the unread-key audit must not warn on these):
+#   LR_SHARE / WD_SHARE / GUMBEL_LR — parameter-group LR/WD overrides,
+#     read by train/optim.py:build_optimizer.
+#   CUSTOM_ATTN — the reference's Attention_CUST vs nn.MultiheadAttention
+#     switch (ref :775,:788); both are numerically identical in the plain
+#     path, and this repo's attention IS the plain Attention_CUST math
+#     (Pallas or XLA), so the flag is accepted with either value.
+#   EARLY_CONV_RES_BLOCK / EARLY_CONV_RES_LAYERS — validated (not just
+#     read) below: the reference supports exactly basic_v0 x1 per stage
+#     (asserts at ref :1968-1970) and this repo hardcodes that shape.
+_CUSTOM_KEYS_CONSUMED_ELSEWHERE = frozenset({
+    "LR_SHARE", "WD_SHARE", "GUMBEL_LR", "CUSTOM_ATTN",
+    "EARLY_CONV_RES_BLOCK", "EARLY_CONV_RES_LAYERS",
+})
+
+
+class _KeyRecorder:
+    """Records which keys ``spec_from_config``/``ext_spec_from_custom``
+    actually read from ``config.CUSTOM`` so unread keys can be reported
+    (a YAML key the spec never looks at is a silent no-op — the failure
+    mode VERDICT r4 flagged for TEXT.STYLE)."""
+
+    def __init__(self, node):
+        self._node = node
+        self.seen: set = set()
+
+    def get(self, key, default=None):
+        self.seen.add(key)
+        return self._node.get(key, default)
+
+
+def _validate_spec_config(config) -> None:
+    """Reject configuration this implementation does not support, loudly.
+
+    Mirrors the reference's own hard asserts instead of silently ignoring
+    the keys: the eval path requires the CLIP text tower and tokenizer
+    (``clip_openai_pe_res_v1.py:2994,3011`` assert ``transformer_style ==
+    'clip'``; the HF alternative at ``:2774-2784,3022-3041`` is dead in
+    every released config), and the EarlyconvRes stem supports exactly
+    ``basic_v0`` blocks, one per stage (ref asserts ``:1968-1970``)."""
+    text = config.MODEL.SPEC.TEXT
+    style = text.get("STYLE", "clip")
+    if style != "clip":
+        raise ValueError(
+            f"MODEL.SPEC.TEXT.STYLE={style!r} is not supported: only the "
+            "CLIP text transformer is implemented (the reference's "
+            "HuggingFace text-tower branch is disabled in every released "
+            "config and asserted away in its eval path, "
+            "clip_openai_pe_res_v1.py:2994,3011)."
+        )
+    tok = text.get("TOKENIZER", "clip")
+    if tok != "clip":
+        raise ValueError(
+            f"MODEL.SPEC.TEXT.TOKENIZER={tok!r} is not supported: only the "
+            "CLIP BPE tokenizer is implemented (reference "
+            "get_clip_model reads it at clip_openai_pe_res_v1.py:3212; "
+            "non-'clip' values change vocab/EOT and are untested there)."
+        )
+    custom = config.CUSTOM
+    blk = custom.get("EARLY_CONV_RES_BLOCK", "basic_v0")
+    if blk != "basic_v0":
+        raise ValueError(
+            f"CUSTOM.EARLY_CONV_RES_BLOCK={blk!r}: the reference supports "
+            "only 'basic_v0' (any other value silently builds an EMPTY "
+            "resnet stage, clip_openai_pe_res_v1.py:1965-1976); this "
+            "implementation hardcodes basic_v0 and rejects the rest."
+        )
+    layers = custom.get("EARLY_CONV_RES_LAYERS", None)
+    if layers is not None and any(n != 1 for n in layers):
+        raise ValueError(
+            f"CUSTOM.EARLY_CONV_RES_LAYERS={list(layers)!r}: the reference "
+            "asserts one basic_v0 block per stage "
+            "(clip_openai_pe_res_v1.py:1968-1970); stacks deeper than 1 "
+            "are not supported there or here."
+        )
+
+
 def spec_from_config(config) -> MSClipSpec:
     """Build an MSClipSpec from a merged config tree, reading the same keys
     as the reference factory (``get_clip_model`` ``:3182-3227``) and
-    ``Transformer.__init__`` (``:2126-2180``)."""
+    ``Transformer.__init__`` (``:2126-2180``).
+
+    Unsupported values raise (``_validate_spec_config``); CUSTOM keys the
+    spec never reads trigger a ``warnings.warn`` so a typo'd or
+    unsupported YAML key cannot become a silent no-op."""
+    _validate_spec_config(config)
     spec_cfg = config.MODEL.SPEC
-    custom = config.CUSTOM
+    custom = _KeyRecorder(config.CUSTOM)
     vision = spec_cfg.VISION
     text = spec_cfg.TEXT
 
@@ -264,7 +347,7 @@ def spec_from_config(config) -> MSClipSpec:
         # ResNet tower: heads = width*32 // 64 (reference :2749)
         resnet_layers = tuple(vision_layers_cfg)
         vision_layers, vision_heads = 0, width * 32 // 64
-    return MSClipSpec(
+    spec = MSClipSpec(
         embed_dim=spec_cfg.get("EMBED_DIM", 512),
         # reference reads TRAIN.IMAGE_SIZE even for eval (:3185)
         image_resolution=config.TRAIN.IMAGE_SIZE[0],
@@ -337,6 +420,19 @@ def spec_from_config(config) -> MSClipSpec:
         vision_drop_path=vision.get("DROP_PATH", 0.0),
         ext=ext_spec_from_custom(custom),
     )
+    unread = (set(config.CUSTOM.keys()) - custom.seen
+              - _CUSTOM_KEYS_CONSUMED_ELSEWHERE)
+    if unread:
+        import warnings
+
+        warnings.warn(
+            f"CUSTOM keys set but never read by the model spec: "
+            f"{sorted(unread)} — they have NO effect (unknown or "
+            "unsupported; check spelling against config/defaults.py and "
+            "the reference CUSTOM namespace).",
+            stacklevel=2,
+        )
+    return spec
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _pvary(x, axis_name):
+    """Mark ``x`` as varying over ``axis_name`` (scan carries that mix in
+    shard-local data must enter the scan already axis-varying).
+
+    ``jax.lax.pvary`` is deprecated in favour of ``pcast(..., to=
+    'varying')`` (JAX >= 0.9); prefer the supported spelling, keep the
+    old one as a fallback for older JAX."""
+    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axes, to="varying")
+    return jax.lax.pvary(x, axes)
+
+
 def _ce(logits, labels, label_smoothing=0.0):
     """Cross-entropy with fp32 log-softmax and optional label smoothing
     (``LOSS.LABEL_SMOOTHING``)."""
@@ -172,8 +185,7 @@ def _ring_direction_fwd(rows, cols, logit_scale, axis_name,
 
     m0 = jnp.full((b,), -jnp.inf, jnp.float32)
     zeros = jnp.zeros((b,), jnp.float32)
-    m0, s0, g0, t0 = jax.lax.pvary((m0, zeros, zeros, zeros),
-                                   (axis_name,))
+    m0, s0, g0, t0 = _pvary((m0, zeros, zeros, zeros), (axis_name,))
     (m, s, gold, tot, _), _ = jax.lax.scan(
         body, (m0, s0, g0, t0, cols), jnp.arange(n)
     )
@@ -218,7 +230,7 @@ def _ring_direction_bwd(axis_name, label_smoothing, res, g):
         cur, dcols_acc = jax.lax.ppermute((cur, dcols_acc), axis_name, perm)
         return (cur, dcols_acc, drows, dls), None
 
-    z2, drows0, dls0 = jax.lax.pvary(
+    z2, drows0, dls0 = _pvary(
         (jnp.zeros((b, cols.shape[1]), jnp.float32),
          jnp.zeros((b, rows.shape[1]), jnp.float32),
          jnp.zeros((), jnp.float32)),
@@ -298,7 +310,7 @@ def chunked_direction(rows, cols_all, T, labels, B, chunk,
     if axis_name is not None:
         # mark the carry as varying over the mapped axis (the body mixes
         # in shard-local data, so the output carry is axis-varying)
-        m0, s0, g0, t0 = jax.lax.pvary((m0, s0, g0, t0), (axis_name,))
+        m0, s0, g0, t0 = _pvary((m0, s0, g0, t0), (axis_name,))
     n_chunks = cols_all.shape[0] // chunk
     (m, s, gold, tot), _ = jax.lax.scan(
         body, (m0, s0, g0, t0), jnp.arange(n_chunks)

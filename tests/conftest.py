@@ -32,6 +32,12 @@ if _cache and _cache != "0":
 
     enable_compile_cache(_cache)
     os.environ.setdefault("MSCLIP_COMPILE_CACHE", _cache)
+else:
+    # The kill switch must reach subprocess CLI tests too:
+    # apply_platform_override default-enables the production cache dir,
+    # so without this a child process would silently re-enable caching
+    # and MSCLIP_TEST_COMPILE_CACHE=0 would not measure cold compiles.
+    os.environ["MSCLIP_COMPILE_CACHE"] = "0"
 
 import pytest  # noqa: E402
 

@@ -121,3 +121,82 @@ def test_use_pallas_auto_resolution(repo_root):
     assert spec_from_config(c).use_pallas is True
     c.TPU.USE_PALLAS = False
     assert spec_from_config(c).use_pallas is False
+
+
+def test_unsupported_text_style_raises(repo_root):
+    """A YAML requesting the reference's HF text-tower branch must fail
+    loudly, not be silently ignored (reference asserts STYLE == 'clip' in
+    its eval path, clip_openai_pe_res_v1.py:2994,3011)."""
+    from msclip_tpu.models import spec_from_config
+
+    c = get_default_config()
+    update_config(c, str(repo_root / "experiments/model/b32-yfcc-msclips.yaml"))
+    c.MODEL.SPEC.TEXT["STYLE"] = "hf"
+    with pytest.raises(ValueError, match="STYLE"):
+        spec_from_config(c)
+
+
+def test_unsupported_tokenizer_raises(repo_root):
+    from msclip_tpu.models import spec_from_config
+
+    c = get_default_config()
+    update_config(c, str(repo_root / "experiments/model/b32-yfcc-msclips.yaml"))
+    c.MODEL.SPEC.TEXT["TOKENIZER"] = "bert"
+    with pytest.raises(ValueError, match="TOKENIZER"):
+        spec_from_config(c)
+
+
+def test_clip_style_accepted(repo_root):
+    """Explicit STYLE/TOKENIZER 'clip' (as in the released b32.yaml) must
+    still build."""
+    from msclip_tpu.models import spec_from_config
+
+    c = get_default_config()
+    update_config(c, str(repo_root / "experiments/model/b32-yfcc-msclips.yaml"))
+    c.MODEL.SPEC.TEXT["STYLE"] = "clip"
+    c.MODEL.SPEC.TEXT["TOKENIZER"] = "clip"
+    spec_from_config(c)  # no raise
+
+
+def test_unsupported_earlyconv_res_block_raises(repo_root):
+    from msclip_tpu.models import spec_from_config
+
+    c = get_default_config()
+    update_config(c, str(repo_root / "experiments/model/b32-yfcc-msclips.yaml"))
+    c.CUSTOM["EARLY_CONV_RES_BLOCK"] = "bottleneck"
+    with pytest.raises(ValueError, match="EARLY_CONV_RES_BLOCK"):
+        spec_from_config(c)
+    c.CUSTOM["EARLY_CONV_RES_BLOCK"] = "basic_v0"
+    c.CUSTOM["EARLY_CONV_RES_LAYERS"] = [2, 1, 1, 1]
+    with pytest.raises(ValueError, match="EARLY_CONV_RES_LAYERS"):
+        spec_from_config(c)
+
+
+def test_unread_custom_key_warns(repo_root):
+    """A CUSTOM key the spec never reads (typo or unsupported feature)
+    must produce a warning naming the key — never a silent no-op."""
+    import warnings
+
+    from msclip_tpu.models import spec_from_config
+
+    c = get_default_config()
+    update_config(c, str(repo_root / "experiments/model/b32-yfcc-msclips.yaml"))
+    c.CUSTOM["PERCIEVER_IN_V"] = True  # typo'd PERCEIVER_IN_V
+    with pytest.warns(UserWarning, match="PERCIEVER_IN_V"):
+        spec_from_config(c)
+
+
+def test_released_yamls_warn_free(repo_root):
+    """Every released model YAML must build without unread-key warnings
+    (their whole CUSTOM namespace is consumed or validated)."""
+    import warnings
+
+    from msclip_tpu.models import spec_from_config
+
+    for name in ("b32.yaml", "b32-yfcc-msclips.yaml", "b16-yfcc-msclips.yaml",
+                 "b32-laion-msclips.yaml"):
+        c = get_default_config()
+        update_config(c, str(repo_root / f"experiments/model/{name}"))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            spec_from_config(c)
