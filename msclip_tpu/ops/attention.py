@@ -195,14 +195,48 @@ def _fused_attention_bwd(n_head, interpret, batch_tile, residuals, g):
 _fused_attention_core.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
+@functools.lru_cache(maxsize=None)
+def _pack_mask_np(seq: int, pack: int):
+    """Block-diagonal additive mask for ``pack`` rows sharing one score
+    tile: 0 inside each row's own ``[seq, seq]`` block, -1e9 across
+    rows (softmax then renormalizes each query over its own keys only)."""
+    import numpy as np
+
+    m = np.full((pack * seq, pack * seq), -1e9, np.float32)
+    for i in range(pack):
+        m[i * seq:(i + 1) * seq, i * seq:(i + 1) * seq] = 0.0
+    return m
+
+
 def fused_attention_qkv(qkv, n_head, mask=None, *, interpret=False,
-                        batch_tile=None):
+                        batch_tile=None, lane_pack=None):
     """qkv ``[B, L, 3E]`` (post in-projection) -> context ``[B, L, E]``.
 
     ``mask``: additive fp32 ``[L, L]`` (e.g. causal) or None.
     Differentiable: a custom VJP recomputes the softmax in VMEM and emits
     dqkv in one fused backward kernel.
+
+    ``lane_pack`` (default: tuning table / ``MSCLIP_ATTN_PACK``): for
+    maskless sequences short enough that ``pack * L <= 128``, view the
+    batch as ``[B/pack, pack*L, 3E]`` (a free, contiguous reshape) and
+    run the same kernel with a block-diagonal additive mask. The score
+    matrix then fills the 128-wide lane tile that L=50 would otherwise
+    pad 2.56x, and the per-head matmul count drops ``pack``x. The
+    cross-row score FLOPs this "wastes" were pad slots the MXU burned
+    anyway. Sweep: ``experiments/attn_pack_sweep.py`` (VERDICT r4 #3).
     """
+    B, L, three_e = qkv.shape
+    if lane_pack is None:
+        lane_pack = get_tuning().attn_lane_pack
+    pack = max(1, int(lane_pack)) if mask is None else 1
+    while pack > 1 and (pack * L > 128 or B % pack):
+        pack -= 1
+    if pack > 1:
+        qkv_p = qkv.reshape(B // pack, pack * L, three_e)
+        pm = jnp.asarray(_pack_mask_np(L, pack))
+        out = _fused_attention_core(qkv_p, n_head, pm, interpret,
+                                    batch_tile)
+        return out.reshape(B, L, three_e // 3)
     return _fused_attention_core(qkv, n_head, mask, interpret, batch_tile)
 
 

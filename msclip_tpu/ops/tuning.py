@@ -14,6 +14,8 @@ Environment overrides (highest precedence, for on-device tuning sweeps):
 * ``MSCLIP_INT8_MIN_SEQ`` — min sequence length for the fused int8
   eval block (below it the extra kernel launches lose; see
   ``models/layers.py:transformer_block``)
+* ``MSCLIP_ATTN_PACK``   — batch rows packed per maskless short-seq
+  attention score tile (1 = off; see ``ops/attention.py``)
 """
 
 from __future__ import annotations
@@ -36,6 +38,12 @@ class KernelTuning:
     # int8 eval fast-path gate: fused-quant kernels only win when the
     # saved quant passes outweigh four extra launches per block
     int8_min_seq: int
+    # maskless short-seq attention: pack this many batch rows into one
+    # score tile (block-diagonal additive mask) so the 128-lane pad does
+    # real softmax work (L=50 otherwise pads lanes 2.56x). 1 = off.
+    # Sweep: experiments/attn_pack_sweep.py; verdict in docs/KERNELS.md
+    # "Lane-packed short sequences".
+    attn_lane_pack: int
 
 
 # v5e numbers are measured (BENCH/PARITY rounds 2-3); v4/v5p share the
@@ -52,10 +60,10 @@ class KernelTuning:
 # costs more than its grid amortization saves. Raising the budget to
 # 15.5 MB to flip that pick was measured and rejected.
 _TABLE = {
-    "v4": KernelTuning(14 * _MB, 11 * _MB, 96),
-    "v5e": KernelTuning(14 * _MB, 11 * _MB, 96),
-    "v5p": KernelTuning(14 * _MB, 11 * _MB, 96),
-    "v6e": KernelTuning(28 * _MB, 22 * _MB, 96),
+    "v4": KernelTuning(14 * _MB, 11 * _MB, 96, 1),
+    "v5e": KernelTuning(14 * _MB, 11 * _MB, 96, 1),
+    "v5p": KernelTuning(14 * _MB, 11 * _MB, 96, 1),
+    "v6e": KernelTuning(28 * _MB, 22 * _MB, 96, 1),
 }
 _DEFAULT = _TABLE["v5e"]
 
@@ -84,4 +92,5 @@ def get_tuning() -> KernelTuning:
     attn = int(os.environ.get("MSCLIP_ATTN_VMEM", base.attn_vmem_budget))
     quant = int(os.environ.get("MSCLIP_QUANT_VMEM", base.quant_vmem_budget))
     minseq = int(os.environ.get("MSCLIP_INT8_MIN_SEQ", base.int8_min_seq))
-    return KernelTuning(attn, quant, minseq)
+    pack = int(os.environ.get("MSCLIP_ATTN_PACK", base.attn_lane_pack))
+    return KernelTuning(attn, quant, minseq, pack)

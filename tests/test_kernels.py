@@ -294,3 +294,41 @@ def test_kernel_tuning_table_and_overrides(monkeypatch):
         assert tuning.get_tuning().int8_min_seq == 5000
     finally:
         tuning.get_tuning.cache_clear()
+
+
+def test_fused_attention_qkv_lane_pack_matches_unpacked():
+    """lane_pack=2 (batch rows sharing one block-diagonal score tile)
+    must be numerically identical to the unpacked kernel — fwd and grad
+    (VERDICT r4 #3 sweep's correctness gate)."""
+    rng = np.random.default_rng(11)
+    B, Lq, H, D = 4, 50, 4, 16
+    E = H * D
+    qkv = jnp.asarray(
+        rng.standard_normal((B, Lq, 3 * E)).astype(np.float32) * 0.3
+    )
+    plain = fused_attention_qkv(qkv, H, interpret=True, lane_pack=1)
+    packed = fused_attention_qkv(qkv, H, interpret=True, lane_pack=2)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(plain),
+                               atol=2e-5, rtol=1e-5)
+
+    def loss(qkv, pack):
+        out = fused_attention_qkv(qkv, H, interpret=True, lane_pack=pack)
+        return (out * out).sum()
+
+    g1 = jax.grad(loss)(qkv, 1)
+    g2 = jax.grad(loss)(qkv, 2)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               atol=2e-4, rtol=1e-4)
+
+    # fallback paths: odd batch, pack*L > 128, and an explicit mask all
+    # silently run unpacked (identical results by construction)
+    odd = fused_attention_qkv(qkv[:3], H, interpret=True, lane_pack=2)
+    np.testing.assert_allclose(np.asarray(odd), np.asarray(plain[:3]),
+                               atol=2e-5, rtol=1e-5)
+    long_qkv = jnp.asarray(
+        rng.standard_normal((2, 77, 3 * E)).astype(np.float32) * 0.3
+    )
+    a = fused_attention_qkv(long_qkv, H, interpret=True, lane_pack=2)
+    b = fused_attention_qkv(long_qkv, H, interpret=True, lane_pack=1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=1e-5)

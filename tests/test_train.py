@@ -681,3 +681,70 @@ def test_gradcache_accum_bn_training_and_mesh():
                     jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5)
+
+
+@pytest.mark.slow
+def test_flagship_composition_fullsize():
+    """The composed flagship recipe — TPU.FSDP x TPU.RING_LOSS x
+    TPU.ACCUM_STEPS — run as ONE program at full b32 geometry (VERDICT r4
+    #4: each flag was proven equal in isolation; this is the exact
+    combination a 32k-batch v5e-64 user runs, docs/SCALING.md "the
+    flagship recipe"). Asserts over 3 steps: per-step loss equals the
+    plain replicated global-loss step, final params match, and the FSDP
+    layout (params AND moments partitioned) survives stepping."""
+    import os as _os
+
+    from msclip_tpu.config import update_config
+    from msclip_tpu.models import spec_from_config
+    from msclip_tpu.parallel import create_mesh, shard_params_fsdp
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    cfg = _cfg()
+    update_config(
+        cfg, _os.path.join(repo, "experiments/model/b32-yfcc-msclips.yaml")
+    )
+    cfg.TPU.COMPUTE_DTYPE = "float32"  # exact-equality comparison
+    spec = spec_from_config(cfg)
+    model = MSClipModel(spec)
+    params = model.init(jax.random.PRNGKey(1))
+    mesh = create_mesh(data=8, model=1)
+    images, tokens = _batch(spec, b=16, seed=11)  # 2/chip over data=8
+
+    # plain oracle: replicated params, global-batch InfoNCE
+    tx_a, _ = build_optimizer(cfg, params, spec, steps_per_epoch=10)
+    state_a = init_train_state(model, tx_a, params=params)
+    step_a = make_train_step(spec, tx_a, mesh=mesh, donate=False,
+                             freeze_bn=True)
+
+    # flagship: FSDP storage + ring loss + GradCache accumulation
+    fsdp_params = shard_params_fsdp(params, mesh)  # production min_size
+    n_sharded = sum(1 for l in jax.tree.leaves(fsdp_params)
+                    if not l.sharding.is_fully_replicated)
+    assert n_sharded > 0
+    tx_b, _ = build_optimizer(cfg, fsdp_params, spec, steps_per_epoch=10)
+    state_b = init_train_state(model, tx_b, params=fsdp_params)
+    assert any(
+        hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+        for l in jax.tree.leaves(state_b.opt_state)
+    ), "moments did not inherit the FSDP layout"
+    step_b = make_train_step(spec, tx_b, mesh=mesh, donate=False,
+                             freeze_bn=True, sharded_loss=True,
+                             ring_loss=True, accum_steps=2)
+
+    for i in range(3):
+        state_a, m_a = step_a(state_a, images, tokens)
+        state_b, m_b = step_b(state_b, images, tokens)
+        np.testing.assert_allclose(
+            float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5,
+            err_msg=f"step {i}: composed loss diverged from replicated")
+    assert sum(1 for l in jax.tree.leaves(state_b.params)
+               if not l.sharding.is_fully_replicated) == n_sharded, (
+        "FSDP param layout did not survive 3 composed steps")
+    assert any(
+        hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+        for l in jax.tree.leaves(state_b.opt_state)
+    ), "moments re-replicated after stepping"
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
