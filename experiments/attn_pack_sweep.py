@@ -13,7 +13,9 @@ winner in-graph with bench.py (eval) / profile_train.py (train) before
 flipping the ops/tuning.py default — the r3 tile lesson (standalone
 winners can lose in-context) applies.
 
-Usage: python experiments/attn_pack_sweep.py [L] [B]
+Usage: python experiments/attn_pack_sweep.py [L] [B] [--gemm]
+       (--gemm: qkv produced by an in-graph projection GEMM, exposing
+       any reshape-relayout cost the fresh-array mode hides)
 Env:   SWEEP_E, SWEEP_H, SWEEP_DTYPE=bf16|fp32
 """
 
@@ -31,9 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from msclip_tpu.ops.attention import fused_attention_qkv
 
 
-def time_it(qkv, H, pack, bwd, K):
+def time_it(qkv, H, pack, bwd, K, w=None):
+    """``w`` (--gemm): produce qkv from an in-graph GEMM first, so the
+    kernel's input carries the layout a real block's QKV projection
+    hands it (tests whether the [B,L,3E]->[B/2,2L,3E] reshape costs a
+    relayout there that the fresh-array standalone sweep never sees)."""
     def one(qkv, i):
         def f(q):
+            if w is not None:
+                q = jnp.einsum("ble,ef->blf", q, w)
             return fused_attention_qkv(
                 q + i.astype(q.dtype) * 1e-6, H, None, lane_pack=pack,
             ).astype(jnp.float32).sum()
@@ -64,14 +72,21 @@ def main():
     H = int(os.environ.get("SWEEP_H", 12))
     dt = jnp.bfloat16 if os.environ.get("SWEEP_DTYPE", "bf16") == "bf16" \
         else jnp.float32
-    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, L, 3 * E), dt)
+    gemm = "--gemm" in sys.argv
+    if gemm:
+        qkv = jax.random.normal(jax.random.PRNGKey(0), (B, L, E), dt)
+        w = jax.random.normal(jax.random.PRNGKey(1), (E, 3 * E), dt) * 0.02
+    else:
+        qkv = jax.random.normal(jax.random.PRNGKey(0), (B, L, 3 * E), dt)
+        w = None
     packs = [p for p in (1, 2, 4) if p * L <= 128 and B % p == 0]
-    print(f"L={L} B={B} E={E} H={H} dtype={dt.__name__} packs={packs}")
+    print(f"L={L} B={B} E={E} H={H} dtype={dt.__name__} packs={packs} "
+          f"gemm={gemm}")
     for bwd in (False, True):
         base = None
         for p in packs:
             try:
-                ms = time_it(qkv, H, p, bwd, 16 if bwd else 32)
+                ms = time_it(qkv, H, p, bwd, 16 if bwd else 32, w=w)
             except Exception as e:
                 print(f"  {'fwd+bwd' if bwd else 'fwd    '} pack={p}: "
                       f"FAIL {type(e).__name__}: {str(e)[:100]}")
