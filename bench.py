@@ -320,10 +320,26 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
       jpeg_decode_ips_core_full  same without DCT-scaled decode
       jpeg_transfer_ips_bound    measured host->device upload bound for
                            one uint8 batch (sandbox tunnel artifact)
-      jpeg_eval_vs_bound   jpeg_eval_ips / (decode bound x cores) — the
-                           stable cross-run claim: ~1.0 = decode-bound;
-                           lower = transfer/device-bound (compare with
-                           jpeg_transfer_ips_bound to tell which)
+      jpeg_feed_ips_bound  ACHIEVABLE feed bound: the same overlapped
+                           decode+upload pipeline with a no-op device
+                           program. On a 1-vCPU host with a fast tunnel
+                           the decode worker and the tunnel client's
+                           serialization share one core, so
+                           min(decode, transfer) can be physically
+                           unattainable (r5 triple-run 2: decode 187.4,
+                           transfer 176.8, serial combination
+                           1/(1/187.4+1/176.8)=91; pipeline 119.5 —
+                           BETWEEN them because upload is only partly
+                           CPU). Only a measurement places the real
+                           ceiling; this is that measurement.
+      jpeg_eval_vs_bound   jpeg_eval_ips / min(decode, transfer, feed)
+                           per repeat, median over repeats — the stable
+                           cross-run claim: ~1.0 = the model compute
+                           fully hides under the host feed path
+      jpeg_eval_vs_dt_bound  same but vs min(decode, transfer) only
+                           (the pre-r5 semantic, kept for comparison;
+                           < vs_bound exactly when shared-CPU
+                           contention binds)
 
     Images are synthetic 1024x768 q90 JPEGs (YFCC-like photo scale).
     """
@@ -416,10 +432,15 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
     import queue
     import threading
 
-    def run_pipeline(depth: int) -> float:
+    def run_pipeline(depth: int, step=None) -> float:
         """Decode thread feeds a bounded queue; main thread uploads and
         keeps up to ``depth`` dispatched programs un-fetched (the tunnel's
-        ~28 ms RTT rides under the next upload). Returns img/s."""
+        ~28 ms RTT rides under the next upload). ``step`` is the device
+        program per uploaded batch (default: the real model); passing
+        ``_touch`` turns this into the achievable-feed-bound measurement
+        (identical host path, no-op device program). Returns img/s."""
+        if step is None:
+            step = lambda imgs: logits_top1(params, classifier, imgs)  # noqa: E731
         decoded = queue.Queue(maxsize=3)
 
         def producer():
@@ -443,8 +464,7 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
                 raise imgs
             if imgs is None:
                 break
-            pending.append(logits_top1(params, classifier,
-                                       jnp.asarray(imgs)))
+            pending.append(step(jnp.asarray(imgs)))
             while len(pending) > depth:
                 int(pending.popleft())
         while pending:
@@ -468,7 +488,8 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
     #     misreport pipeline efficiency.
     repeats = max(1, int(os.environ.get("BENCH_JPEG_REPEATS", "3")))
     depth = max(1, int(os.environ.get("BENCH_JPEG_DEPTH", "2")))
-    pipes, decodes, transfers, ratios = [], [], [], []
+    pipes, decodes, transfers, feeds = [], [], [], []
+    ratios, dt_ratios = [], []
     for _ in range(repeats):
         t0 = time.perf_counter()
         host_decode()
@@ -476,22 +497,32 @@ def _bench_jpeg(model_yaml: str, batch: int, n_batches: int) -> dict:
         t0 = time.perf_counter()
         int(_touch(jnp.asarray(warm)))
         t_bound = batch / (time.perf_counter() - t0)
+        # Achievable feed bound: identical overlapped decode+upload
+        # pipeline, no-op device program — the ceiling decode and the
+        # tunnel client's serialization can jointly sustain on this
+        # host's cores (see docstring: min(decode, transfer) assumes
+        # they don't share CPU, which a 1-vCPU host violates).
+        feed = run_pipeline(depth, step=_touch)
         pipe = run_pipeline(depth)
         t0 = time.perf_counter()
         host_decode()
         d_bound = 0.5 * (d_bound + batch / (time.perf_counter() - t0))
         decodes.append(d_bound)
         transfers.append(t_bound)
+        feeds.append(feed)
         pipes.append(pipe)
-        ratios.append(pipe / min(d_bound, t_bound))
+        ratios.append(pipe / min(d_bound, t_bound, feed))
+        dt_ratios.append(pipe / min(d_bound, t_bound))
 
     med = statistics.median
     out["jpeg_transfer_ips_bound"] = round(med(transfers), 1)
     out["jpeg_decode_ips_pool"] = round(med(decodes), 1)
+    out["jpeg_feed_ips_bound"] = round(med(feeds), 1)
     out["jpeg_eval_ips"] = round(med(pipes), 1)
     out["jpeg_host_cores"] = os.cpu_count()
     out["jpeg_eval_vs_bound"] = round(med(ratios), 3)
     out["jpeg_eval_vs_bound_min"] = round(min(ratios), 3)
+    out["jpeg_eval_vs_dt_bound"] = round(med(dt_ratios), 3)
     return out
 
 
