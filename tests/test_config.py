@@ -200,3 +200,23 @@ def test_released_yamls_warn_free(repo_root):
         with warnings.catch_warnings():
             warnings.simplefilter("error")
             spec_from_config(c)
+
+
+def test_save_config_roundtrip(tmp_path, repo_root):
+    """`save_config` (reference `lib/config/default.py:330-333`) must dump
+    a YAML that parses back to the identical tree via the BASE machinery."""
+    from msclip_tpu.config.io import save_config
+
+    c = get_default_config()
+    update_config(c, str(repo_root / "experiments/model/b32-yfcc-msclips.yaml"))
+    path = tmp_path / "dumped.yaml"
+    save_config(c, str(path))
+    assert path.exists() and path.stat().st_size > 0
+
+    c2 = get_default_config()
+    update_config(c2, str(path))
+    # NAME composes the config-file stem (reference default.py:316-317),
+    # so it legitimately differs; every other key must round-trip.
+    d1, d2 = c.to_dict(), c2.to_dict()
+    d1.pop("NAME"), d2.pop("NAME")
+    assert d2 == d1
