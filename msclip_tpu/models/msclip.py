@@ -284,18 +284,22 @@ def _validate_spec_config(config) -> None:
     Mirrors the reference's own hard asserts instead of silently ignoring
     the keys: the eval path requires the CLIP text tower and tokenizer
     (``clip_openai_pe_res_v1.py:2994,3011`` assert ``transformer_style ==
-    'clip'``; the HF alternative at ``:2774-2784,3022-3041`` is dead in
-    every released config), and the EarlyconvRes stem supports exactly
+    'clip'``; there is NO non-'clip' implementation to mirror — the
+    reference imports ``AutoModel`` at ``:20`` and never uses it, and
+    constructs ``self.transformer`` only inside the ``== 'clip'`` guards
+    ``:2533,:2775``), and the EarlyconvRes stem supports exactly
     ``basic_v0`` blocks, one per stage (ref asserts ``:1968-1970``)."""
     text = config.MODEL.SPEC.TEXT
     style = text.get("STYLE", "clip")
     if style != "clip":
         raise ValueError(
             f"MODEL.SPEC.TEXT.STYLE={style!r} is not supported: only the "
-            "CLIP text transformer is implemented (the reference's "
-            "HuggingFace text-tower branch is disabled in every released "
-            "config and asserted away in its eval path, "
-            "clip_openai_pe_res_v1.py:2994,3011)."
+            "CLIP text transformer is implemented. The reference never "
+            "implements a non-'clip' tower either — AutoModel is imported "
+            "(clip_openai_pe_res_v1.py:20) and never used, no text tower "
+            "is constructed outside the == 'clip' guards (:2533,:2775), "
+            "its encode_text raises NameError, and its eval path asserts "
+            "== 'clip' (:2994,:3011)."
         )
     tok = text.get("TOKENIZER", "clip")
     if tok != "clip":
